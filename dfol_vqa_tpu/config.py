@@ -1,0 +1,176 @@
+"""Typed configuration schema with the reference YAML surface.
+
+The upstream framework consumes one flat ~45-key YAML dict with no schema
+(reference: CONFIG_YAML.md:1-107, loaded in base_experiment.py:43-47 and
+probed with ``'key' in config`` all over). We keep the exact same YAML keys
+(including the upstream typo ``ckeckpointing_frequency``) so reference
+config files load unchanged, but validate them into a typed dataclass, and
+add a ``tpu`` section for the TPU-native knobs (mesh shape, static-shape
+padding ladders, dtypes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import yaml
+
+
+@dataclass
+class TPUConfig:
+    """TPU-native execution knobs (new; no reference analog)."""
+
+    max_object_num: int = 48  # dense object-axis padding (GQA h5 max is 100)
+    rel_table_size: int = 8  # per-question relation-table slots R
+    option_pad_ladder: Tuple[int, ...] = (2, 4, 8, 16, 32, 64, 128, 192)
+    branch_len_ladder: Tuple[int, ...] = (2, 4, 6, 8, 10)
+    mesh_shape: Tuple[int, ...] = (1,)  # (data,) or (data, model)
+    mesh_axes: Tuple[str, ...] = ("data",)
+    compute_dtype: str = "float32"  # matmul input dtype ("bfloat16" on TPU)
+    use_pallas: bool = False  # fused Pallas relation-oracle kernel
+    rel_block_size: int = 0  # 0 = no chunking of the O^2 relation pass
+    donate_state: bool = True
+
+
+@dataclass
+class Config:
+    # identity / paths (CONFIG_YAML.md:3-31)
+    model_name: str = "model"
+    version: str = "v0"
+    train_path: Optional[str] = None
+    train_object_path: Optional[str] = None
+    train_object_info_path: Optional[str] = None
+    validation_path: Optional[str] = None
+    test_path: Optional[str] = None
+    image_path: Optional[str] = None
+    model_path: str = "./runs"
+    attribute_file: Optional[str] = None
+    class_file: Optional[str] = None
+    relation_file: Optional[str] = None
+    frequency_file: Optional[str] = None
+    word_embedding_file: Optional[str] = None
+    vocabulary_file: Optional[str] = None
+    metadata_file: Optional[str] = None  # consolidated asset (new)
+    h5_prefix: str = "gqa_objects"
+    h5_chunk_num: int = 16
+
+    # loop control (CONFIG_YAML.md:35-41)
+    repetition_num: int = 1
+    epoch_num: int = 1
+    error_dim: int = 1
+    metric_index: int = 0
+
+    # optimisation (CONFIG_YAML.md:43-55)
+    train_batch_size: int = 80
+    test_batch_size: int = 80
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-10
+    dropout: float = 0.1
+    clip_norm: float = 0.65
+    l1_lambda: float = 0.0
+
+    # misc
+    verbose: bool = True
+    max_cache_size: int = 100000
+
+    # model dims (CONFIG_YAML.md:59-67)
+    box_features_dim: int = 2048
+    oracle_input_dim: int = 512
+    oracle_output_dim: int = 1
+    word_embedding_dim: int = 300
+    relation_features_dim: Optional[int] = None
+
+    # oracle architecture (CONFIG_YAML.md:69-79)
+    classifier_oracle: bool = True
+    featurizer_layers_config: Optional[List[int]] = field(default_factory=list)
+    attribute_network_layers_config: Optional[List[int]] = field(default_factory=lambda: [256])
+    relation_network_layers_config: Optional[List[int]] = field(default_factory=lambda: [256])
+    operator_layers_config: Optional[List[int]] = field(default_factory=list)
+    normalize_oracle: bool = True
+
+    # freezing (CONFIG_YAML.md:81-87)
+    freeze_featurizer: bool = False
+    freeze_attribute_network: bool = False
+    freeze_relation_network: bool = False
+    freeze_embedding_network: bool = False
+    freeze_embedding_bias: bool = False
+
+    # attention transfer / calibration (CONFIG_YAML.md:89-93)
+    activate_attention_transfer: bool = False
+    attention_transfer_state_dim: int = 50
+    freeze_attention_network: bool = False
+    apply_modulation_everywhere: bool = True
+
+    # inference behavior (CONFIG_YAML.md:95-99)
+    trainable_gate: bool = False
+    likelihood_threshold: float = 0.0
+    hard_mode: bool = False
+    first_answer: bool = False
+
+    # runtime (CONFIG_YAML.md:101-107)
+    cpu_cores_num: Optional[int] = None
+    in_memory: bool = True
+    gpu_num: Optional[int] = None  # reference GPU count; here = device count cap
+    checkpointing_frequency: int = 1000
+
+    tpu: TPUConfig = field(default_factory=TPUConfig)
+
+    # ------------------------------------------------------------------ utils
+
+    @property
+    def attr_input_dim(self) -> int:
+        """Oracle attribute input: featurized objects ‖ 4 positional dims
+        (gqa_interpreter_experiments.py:147)."""
+        base = (
+            self.oracle_input_dim
+            if self.featurizer_layers_config is not None
+            else self.box_features_dim
+        )
+        return base + 4
+
+    @property
+    def rel_input_dim(self) -> int:
+        """Relation oracle input: subj ‖ obj ‖ dist,angle,h_side,v_side
+        (gqa_interpreter_experiments.py:167, batch_gqa_boxfeatures_pipeline.py:256-279)."""
+        if self.relation_features_dim is not None:
+            return self.relation_features_dim
+        return 2 * self.attr_input_dim + 4
+
+    @property
+    def embedding_input_dim(self) -> int:
+        """gqa_interpreter_experiments.py:150."""
+        if self.attribute_network_layers_config is None:
+            return self.attr_input_dim
+        return self.word_embedding_dim
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "Config":
+        d = dict(d)
+        # upstream typo kept as an accepted alias (CONFIG_YAML.md:105)
+        if "ckeckpointing_frequency" in d:
+            d.setdefault("checkpointing_frequency", d.pop("ckeckpointing_frequency"))
+        tpu_dict = d.pop("tpu", {}) or {}
+        known = {f.name for f in dataclasses.fields(Config)}
+        unknown = {k: v for k, v in d.items() if k not in known}
+        clean = {k: v for k, v in d.items() if k in known}
+        cfg = Config(**clean)
+        tpu_known = {f.name for f in dataclasses.fields(TPUConfig)}
+        tpu_clean = {k: (tuple(v) if isinstance(v, list) else v) for k, v in tpu_dict.items() if k in tpu_known}
+        cfg.tpu = TPUConfig(**tpu_clean)
+        cfg._extras = unknown  # preserved for forward-compat probing
+        return cfg
+
+    @staticmethod
+    def from_yaml(path_or_dict) -> "Config":
+        """Accepts a YAML path or a dict, like base_experiment.py:43-47."""
+        if isinstance(path_or_dict, dict):
+            return Config.from_dict(path_or_dict)
+        with open(path_or_dict, "r") as f:
+            return Config.from_dict(yaml.safe_load(f))
+
+    def get(self, key, default=None):
+        if hasattr(self, key):
+            return getattr(self, key)
+        return getattr(self, "_extras", {}).get(key, default)

@@ -1,0 +1,283 @@
+"""Visual oracle: learned attribute/relation log-likelihood scorer.
+
+TPU-native ClassifierOracle (reference: src/nsvqa/nn/vision/
+classifier_oracle.py + the MLP zoo in gqa_interpreter_experiments.py:18-77,
+145-198). The reference's ``cached=True`` mode — precompute likelihoods once
+per batch, then answer per-op queries with gathers
+(batch_base_interpreter.py:53-61, classifier_oracle.py:139-156) — is the
+*only* mode here, because it is the TPU-shaped formulation: two large
+batched matmuls per scene, then the program executor is pure gathers and
+fuzzy-logic arithmetic.
+
+Key TPU reworks vs. the reference:
+
+  * Attribute path: one fused ``(B*O, D) @ (D, V)`` matmul produces the full
+    per-object vocabulary log-likelihood matrix (V = 2,335), padded with a
+    "default" column 0 holding ``default_log_likelihood`` so signed token
+    code 0 gathers the reference's missing-entry value (-30,
+    classifier_oracle.py:69,79).
+  * Relation path: instead of materialising ``(pairs, 1036)`` concatenated
+    pair features (batch_gqa_boxfeatures_pipeline.py:251-279), the first
+    linear layer is algebraically split ``W = [W_subj; W_obj; W_geom]`` so
+    the O^2 term is a broadcast add of two (B, O, H) matmuls plus a tiny
+    geometry contraction — an O(O) matmul instead of O(O^2) for the widest
+    layer. Only the relations actually referenced by the batch (a small
+    per-question token table, R slots) are scored: logits are contracted
+    against the R gathered embedding rows, never the full 334-relation head.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfol_vqa_tpu import nn
+from dfol_vqa_tpu.config import Config
+from dfol_vqa_tpu.models.featurizer import pair_geometry
+
+DEFAULT_LOG_LIKELIHOOD = -30.0  # reference default_log_likelihood everywhere
+
+
+def init_oracle_params(key, cfg: Config, ontology) -> Dict[str, Any]:
+    """Build the oracle parameter pytree (gqa_interpreter_experiments.py:107-198).
+
+    embedding head: Linear(embedding_input_dim -> V) with weight rows seeded
+    by the GloVe vectors of each vocabulary token (…:147-162)."""
+    k_feat, k_attr, k_rel, k_emb = jax.random.split(key, 4)
+    params: Dict[str, Any] = {}
+
+    params["featurizer"] = nn.mlp_init(
+        k_feat, cfg.box_features_dim, cfg.featurizer_layers_config, cfg.oracle_input_dim
+    )
+    params["attribute_network"] = nn.mlp_init(
+        k_attr, cfg.attr_input_dim, cfg.attribute_network_layers_config, cfg.word_embedding_dim
+    )
+    params["relation_network"] = nn.mlp_init(
+        k_rel, cfg.rel_input_dim, cfg.relation_network_layers_config, cfg.embedding_input_dim
+    )
+
+    concept_num = ontology.num_tokens
+    emb_in = cfg.embedding_input_dim
+    w = jax.random.normal(k_emb, (concept_num, emb_in), jnp.float32)
+    glove = ontology.embedding_matrix()[1:, :]  # (V, word_dim)
+    d = min(cfg.word_embedding_dim, glove.shape[1], emb_in)
+    w = w.at[:, :d].set(jnp.asarray(glove[:, :d]))
+    params["embedding"] = {"w": w.T, "b": jnp.zeros((concept_num,), jnp.float32)}
+    return params
+
+
+# ----------------------------------------------------------------- attributes
+
+
+def attr_cache(
+    params,
+    attr_in: jnp.ndarray,
+    cfg: Config,
+    rng=None,
+    deterministic: bool = True,
+    default_ll: float = DEFAULT_LOG_LIKELIHOOD,
+) -> jnp.ndarray:
+    """attr_in (B, O, D+4) -> (B, O, V+1) log-likelihoods.
+
+    Column v (1-based token code) = logsigmoid(<emb_w[:, v-1], h> + b[v-1])
+    (classifier_oracle.py:44-82 without the sparse scatter); column 0 holds
+    ``default_ll`` so code-0 gathers return the reference default.
+    """
+    h = nn.mlp_apply(
+        params["attribute_network"],
+        attr_in,
+        final="sigmoid",
+        dropout_rate=cfg.dropout,
+        rng=rng,
+        deterministic=deterministic,
+    )
+    compute_dtype = jnp.dtype(cfg.tpu.compute_dtype)
+    logits = (
+        jnp.dot(
+            h.astype(compute_dtype),
+            params["embedding"]["w"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + params["embedding"]["b"]
+    )
+    ll = jax.nn.log_sigmoid(logits)
+    B, O, _ = ll.shape
+    pad = jnp.full((B, O, 1), default_ll, ll.dtype)
+    return jnp.concatenate([pad, ll], axis=-1)
+
+
+# ------------------------------------------------------------------ relations
+
+
+def _first_layer_split(p0, d_att: int):
+    """Split the first relation-MLP linear into subject/object/geometry parts."""
+    w = p0["w"]  # (2*d_att + 4, H)
+    return w[:d_att], w[d_att : 2 * d_att], w[2 * d_att :], p0["b"]
+
+
+def rel_cache(
+    params,
+    attr_in: jnp.ndarray,
+    pos: jnp.ndarray,
+    rel_tokens: jnp.ndarray,
+    cfg: Config,
+    rng=None,
+    deterministic: bool = True,
+    default_ll: float = DEFAULT_LOG_LIKELIHOOD,
+) -> jnp.ndarray:
+    """Score each (subject, object) pair against a per-question token table.
+
+    Args:
+      attr_in: (B, O, D+4) featurized objects (subject/object views share it).
+      pos: (B, O, 4) normalized bbox features.
+      rel_tokens: (B, R) int32 *unsigned* token codes (0 = pad slot).
+
+    Returns (B, O, O, R) log-likelihoods; pad slots get ``default_ll``.
+
+    Semantics match classifier_oracle.py:84-137 with the dense pair grid; the
+    decomposed first layer is exact for the linear part (dropout, when
+    active, is applied per-object on the subject/object streams and per-pair
+    on deeper layers — same marginal rate, see module docstring).
+    """
+    rp = params["relation_network"]
+    emb_w = params["embedding"]["w"]  # (E, V)
+    emb_b = params["embedding"]["b"]  # (V,)
+    compute_dtype = jnp.dtype(cfg.tpu.compute_dtype)
+
+    B, O, d_att = attr_in.shape
+    R = rel_tokens.shape[1]
+    geom = pair_geometry(pos)  # (B, O, O, 4)
+
+    tok0 = jnp.clip(rel_tokens - 1, 0)  # (B, R) 0-based, pads -> 0
+    e_sel = jnp.take(emb_w.T, tok0, axis=0)  # (B, R, E)
+    b_sel = jnp.take(emb_b, tok0, axis=0)  # (B, R)
+
+    if rp is None:
+        raise NotImplementedError(
+            "relation_network_layers_config=None (identity relation network) "
+            "is not supported by the fused relation path; configure at least "
+            "an empty list [] as in all shipped reference configs."
+        )
+
+    layers = rp["layers"]
+    n = len(layers)
+    rngs = (
+        jax.random.split(rng, n + 2) if (rng is not None and not deterministic) else [None] * (n + 2)
+    )
+
+    w_s, w_o, w_g, b0 = _first_layer_split(layers[0], d_att)
+    x = nn.dropout(attr_in, cfg.dropout, rngs[0], deterministic)
+    x_obj = nn.dropout(attr_in, cfg.dropout, rngs[1], deterministic)
+    x = x.astype(compute_dtype)
+    x_obj = x_obj.astype(compute_dtype)
+
+    h_s = jnp.dot(x, w_s.astype(compute_dtype), preferred_element_type=jnp.float32)
+    h_o = jnp.dot(x_obj, w_o.astype(compute_dtype), preferred_element_type=jnp.float32)
+
+    def pair_tail(h_s_blk):
+        """(B, O_blk, H0) subject slice -> (B, O_blk, O, R) logits."""
+        h = (
+            h_s_blk[:, :, None, :]
+            + h_o[:, None, :, :]
+            + jnp.einsum("bijg,gh->bijh", geom, w_g, preferred_element_type=jnp.float32)
+            + b0
+        )
+        for i, lp in enumerate(layers[1:], start=1):
+            h = jax.nn.elu(h)
+            h = nn.dropout(h, cfg.dropout, rngs[i + 1], deterministic)
+            h = jnp.dot(
+                h.astype(compute_dtype),
+                lp["w"].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            ) + lp["b"]
+        h = jax.nn.sigmoid(h)  # RegularMLP final (gqa_interpreter_experiments.py:32)
+        logits = (
+            jnp.einsum(
+                "bije,bre->bijr",
+                h.astype(compute_dtype),
+                e_sel.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b_sel[:, None, None, :]
+        )
+        return jax.nn.log_sigmoid(logits)
+
+    block = cfg.tpu.rel_block_size
+    if block and block < O:
+        nblk = -(-O // block)
+        pad_o = nblk * block - O
+        h_s_p = jnp.pad(h_s, ((0, 0), (0, pad_o), (0, 0)))
+        # note: geom must be sliced per block too; fold via index map
+        geom_p = jnp.pad(geom, ((0, 0), (0, pad_o), (0, 0), (0, 0)))
+
+        def blk_fn(i):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * block, block, axis=1)
+            h = (
+                sl(h_s_p)[:, :, None, :]
+                + h_o[:, None, :, :]
+                + jnp.einsum("bijg,gh->bijh", sl(geom_p), w_g, preferred_element_type=jnp.float32)
+                + b0
+            )
+            for k, lp in enumerate(layers[1:], start=1):
+                h = jax.nn.elu(h)
+                h = nn.dropout(h, cfg.dropout, rngs[k + 1], deterministic)
+                h = jnp.dot(
+                    h.astype(compute_dtype),
+                    lp["w"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                ) + lp["b"]
+            h = jax.nn.sigmoid(h)
+            logits = (
+                jnp.einsum(
+                    "bije,bre->bijr",
+                    h.astype(compute_dtype),
+                    e_sel.astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                + b_sel[:, None, None, :]
+            )
+            return jax.nn.log_sigmoid(logits)
+
+        out = jax.lax.map(blk_fn, jnp.arange(nblk))  # (nblk, B, block, O, R)
+        out = jnp.moveaxis(out, 0, 1).reshape(B, nblk * block, O, R)[:, :O]
+        ll = out
+    else:
+        ll = pair_tail(h_s)
+
+    pad_slot = (rel_tokens == 0)[:, None, None, :]
+    return jnp.where(pad_slot, default_ll, ll)
+
+
+# -------------------------------------------------------- full caches (scene)
+
+
+def full_caches(
+    params, attr_in: jnp.ndarray, pos: jnp.ndarray, cfg: Config, relation_index: np.ndarray
+):
+    """compute_all_log_likelihood analog (classifier_oracle.py:139-156).
+
+    Returns (attr (B,O,V+1), rel (B,O,O,V_rel)) — the full relation head over
+    ``relation_index`` columns, used by the scene-graph supervision op."""
+    a = attr_cache(params, attr_in, cfg)
+    rel_idx = jnp.asarray(relation_index)
+    B = attr_in.shape[0]
+    rel_tokens = jnp.broadcast_to(rel_idx[None, :] + 1, (B, rel_idx.shape[0]))
+    r = rel_cache(params, attr_in, pos, rel_tokens, cfg)
+    return a, r
+
+
+# ---------------------------------------------------------------- test double
+
+
+def static_attr_cache(
+    ll_table: np.ndarray, default_ll: float = DEFAULT_LOG_LIKELIHOOD
+) -> jnp.ndarray:
+    """StaticOracle analog (base_oracle.py:79-93): a (B, O, V) lookup table
+    becomes a (B, O, V+1) cache with the default column prepended."""
+    B, O, _ = ll_table.shape
+    pad = np.full((B, O, 1), default_ll, np.float32)
+    return jnp.asarray(np.concatenate([pad, ll_table], axis=-1))

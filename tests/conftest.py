@@ -1,0 +1,44 @@
+"""Test environment: force an 8-device virtual CPU mesh.
+
+Multi-device pjit/shard_map semantics are tested without TPU hardware via
+XLA's host-platform device-count override — the JAX-native answer to
+"test multi-node without a cluster" (see SURVEY.md §4).
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_ROOT, "src"))
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference checkout not available"
+)
+
+
+@pytest.fixture(scope="session")
+def ontology():
+    from dfol_vqa_tpu.ontology import GQAOntology
+
+    return GQAOntology()
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

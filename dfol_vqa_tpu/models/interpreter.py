@@ -1,0 +1,530 @@
+"""The program executor: jit-compiled ∇-FOL interpretation on TPU.
+
+TPU-native replacement for BatchInterpreterBase/BatchGQAInterpreter
+(reference: src/nsvqa/nn/interpreter/batch_base_interpreter.py:14-183,
+batch_gqa_interpreter.py:13-86) and the 19-module GQA op library
+(batch_gqa_ops.py:160-902). The reference walks a Python list of
+OperatorBatches, dispatching ops by name string per batch at runtime; here
+the AOT compiler (compiler/program_compiler.py) has already aligned every
+program onto a static per-bucket slot grid, so execution is ONE jitted
+function per BucketSpec:
+
+    scene build (oracle caches)  ->  unrolled branch slot updates
+        ->  terminal-op fan-out  ->  loss / metrics / answer flags
+
+No Python control flow depends on tensor values; masks express everything
+the reference did with `gate` and sparse maps. One XLA compilation is reused
+for every batch with the same bucket signature (the bucketed file layout —
+data segregated by terminal op and length, gqa_preprocess.py:136-147 —
+keeps the signature set small).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfol_vqa_tpu import logic
+from dfol_vqa_tpu.compiler.program_compiler import (
+    OP_FILTER,
+    OP_PAD,
+    OP_RELATE,
+    OP_SELECT,
+    BucketSpec,
+)
+from dfol_vqa_tpu.config import Config
+from dfol_vqa_tpu.models import oracle as om
+from dfol_vqa_tpu.models.featurizer import featurize_objects
+from dfol_vqa_tpu.ontology import GQAOntology
+from dfol_vqa_tpu.types import QuestionType, VariableSet, World
+
+BINARY_OPS = ("exist", "verify_attrs", "verify_rel", "and", "or", "all_same",
+              "all_different", "two_same", "two_different")
+QUERY_OPS = ("query_attr", "choose_attr", "choose_rel", "compare")
+
+
+def question_type_of(terminal_op: str) -> QuestionType:
+    if terminal_op in QUERY_OPS:
+        return QuestionType.QUERY
+    if terminal_op == "end":
+        return QuestionType.STATEMENT
+    if terminal_op in ("object_attr", "object_rel"):
+        return QuestionType.OBJECT_STATEMENT
+    if terminal_op == "scene":
+        return QuestionType.SCENE_GRAPH
+    return QuestionType.BINARY
+
+
+def spec_needs_relations(spec: BucketSpec) -> bool:
+    if spec.terminal_op in ("choose_rel", "verify_rel"):
+        return True
+    return any(OP_RELATE in g for g in spec.grid)
+
+
+# ------------------------------------------------------------------- gathers
+
+
+def _gather_attr(attr_ll: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
+    """attr_ll (B, O, V+1), tok (B,) signed -> (B, O) with negation applied.
+
+    Negation = log_parametric_not(ll, 1, 1) as in batch_base_ops.py:212-213."""
+    idx = jnp.abs(tok)
+    ll = jnp.take_along_axis(attr_ll, idx[:, None, None], axis=2)[..., 0]
+    return jnp.where((tok < 0)[:, None], logic.log_parametric_not(ll, 1.0, 1.0), ll)
+
+
+def _gather_attr_options(attr_ll: jnp.ndarray, toks: jnp.ndarray) -> jnp.ndarray:
+    """attr_ll (B, O, V+1), toks (B, K) signed -> (B, K, O) raw (sign NOT applied)."""
+    idx = jnp.abs(toks)  # (B, K)
+    ll = jnp.take_along_axis(attr_ll, idx[:, None, :], axis=2)  # (B, O, K)
+    return jnp.moveaxis(ll, 2, 1)
+
+
+def _apply_option_negation(ll: jnp.ndarray, toks: jnp.ndarray) -> jnp.ndarray:
+    neg = (toks < 0).astype(ll.dtype)
+    neg = neg.reshape(neg.shape + (1,) * (ll.ndim - neg.ndim))
+    return jnp.where(neg > 0, logic.log_parametric_not(ll, 1.0, 1.0), ll)
+
+
+def _gather_rel(rel_ll: jnp.ndarray, idx: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
+    """rel_ll (B, O, O, R), idx (B,), tok (B,) signed -> (B, O, O)."""
+    ll = jnp.take_along_axis(rel_ll, idx[:, None, None, None], axis=3)[..., 0]
+    return jnp.where((tok < 0)[:, None, None], logic.log_parametric_not(ll, 1.0, 1.0), ll)
+
+
+def _gather_rel_options(rel_ll: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """rel_ll (B, O, O, R), idx (B, K) -> (B, K, O, O) raw."""
+    ll = jnp.take_along_axis(rel_ll, idx[:, None, None, :], axis=3)  # (B, O, O, K)
+    return jnp.moveaxis(ll, 3, 1)
+
+
+# -------------------------------------------------------------- logic pieces
+
+
+def _log_probability(att, quant, obj_mask, hard: bool):
+    vs = VariableSet(att, quant, obj_mask)
+    return vs.log_probability(hard_mode=hard)
+
+
+def _relate_core(subj, obj, ll, obj_mask):
+    """EXISTS-quantified arity-2 update (both chains are EXISTS sets in GQA
+    programs; batch_gqa_ops.py:364-371)."""
+    from dfol_vqa_tpu.ops.cells import relate_update
+
+    shape = subj.shape[:-1]
+    ones = jnp.ones(shape, subj.dtype)
+    return relate_update(subj, obj, ll, ones, ones, obj_mask)
+
+
+class Interpreter:
+    """Builds worlds and executes compiled program batches.
+
+    Equivalent public surface to BatchGQAInterpreter: parameter init/count,
+    forward (with optional trace), save/load handled by train.checkpoint."""
+
+    def __init__(self, cfg: Config, ontology: GQAOntology):
+        self.cfg = cfg
+        self.ont = ontology
+        self._step_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------ parameters
+
+    def init_params(self, key) -> Dict[str, Any]:
+        params = om.init_oracle_params(key, self.cfg, self.ont)
+        if self.cfg.activate_attention_transfer:
+            from dfol_vqa_tpu.models.calibrator import init_calibrator_params
+
+            params["calibrator"] = init_calibrator_params(
+                jax.random.fold_in(key, 7), self.cfg, self.ont
+            )
+        return params
+
+    # ----------------------------------------------------------- scene build
+
+    def build_world(
+        self,
+        params,
+        objects: jnp.ndarray,
+        obj_mask: jnp.ndarray,
+        rel_tokens: Optional[jnp.ndarray],
+        rng=None,
+        deterministic: bool = True,
+        needs_rel: bool = True,
+    ) -> World:
+        """build_scene analog (batch_base_interpreter.py:45-70) in cached mode."""
+        cfg = self.cfg
+        r_feat, r_attr, r_rel = (
+            jax.random.split(rng, 3) if rng is not None else (None, None, None)
+        )
+        attr_in, pos = featurize_objects(
+            params["featurizer"], objects, cfg, r_feat, deterministic
+        )
+        attr_ll = om.attr_cache(params, attr_in, cfg, r_attr, deterministic)
+        B, O = obj_mask.shape
+        if needs_rel and rel_tokens is not None:
+            if cfg.tpu.use_pallas:
+                from dfol_vqa_tpu.ops.pallas.relation_oracle import rel_cache_pallas
+
+                rel_ll = rel_cache_pallas(
+                    params, attr_in, pos, rel_tokens, cfg, r_rel, deterministic
+                )
+            else:
+                rel_ll = om.rel_cache(
+                    params, attr_in, pos, rel_tokens, cfg, r_rel, deterministic
+                )
+        else:
+            R = 1 if rel_tokens is None else rel_tokens.shape[1]
+            rel_ll = jnp.zeros((B, 1, 1, R), jnp.float32)
+            rel_tokens = jnp.zeros((B, R), jnp.int32) if rel_tokens is None else rel_tokens
+        return World(
+            obj_mask=obj_mask,
+            attr_ll=attr_ll,
+            rel_ll=rel_ll,
+            rel_tokens=rel_tokens,
+            attr_in=attr_in,
+            pos=pos,
+        )
+
+    # -------------------------------------------------------- branch executor
+
+    def _run_branch(
+        self,
+        world: World,
+        arrays: Dict[str, jnp.ndarray],
+        branch: int,
+        grid: Tuple[int, ...],
+        modulations: Optional[jnp.ndarray] = None,
+        collect_trace: bool = False,
+    ):
+        """Execute one branch's slot sequence; returns final (B, O) attention.
+
+        Mirrors the reference execution loop (batch_base_interpreter.py:
+        146-172) with `gate`-by-mask after every op (…:166-167)."""
+        B, O = world.obj_mask.shape
+        att = jnp.zeros((B, O), jnp.float32)
+        trace = []
+        for si, opc in enumerate(grid):
+            if opc == OP_PAD:
+                continue
+            m = arrays["op_mask"][:, branch, si]  # (B,)
+            tok = arrays["arg_tok"][:, branch, si]
+            if opc in (OP_SELECT, OP_FILTER):
+                ll = _gather_attr(world.attr_ll, tok)
+                upd = jnp.where(tok != 0, 1.0, 0.0) * m
+                new = att + ll
+            else:  # OP_RELATE: select new set (+filter), relate, keep new side
+                aux = arrays["arg_aux"][:, branch, si]
+                s = arrays["arg_flag"][:, branch, si][:, None]
+                ll_aux = _gather_attr(world.attr_ll, aux)
+                x = jnp.where((aux != 0)[:, None], ll_aux, 0.0)
+                subj = s * x + (1.0 - s) * att
+                obj = s * att + (1.0 - s) * x
+                ll_rel = _gather_rel(world.rel_ll, arrays["rel_idx"][:, branch, si], tok)
+                subj2, obj2 = _relate_core(subj, obj, ll_rel, world.obj_mask)
+                new = s * subj2 + (1.0 - s) * obj2
+                upd = jnp.where(tok != 0, 1.0, 0.0) * m
+            if modulations is not None:
+                # attention calibration applied to this op's output
+                # (batch_base_ops.py:401-403)
+                vs = VariableSet(new, jnp.ones((B,)), world.obj_mask)
+                new = vs.apply_modulations(modulations[:, branch, si], att).log_attention
+            att = upd[:, None] * new + (1.0 - upd[:, None]) * att
+            if collect_trace:
+                trace.append(att)
+        if collect_trace:
+            return att, trace
+        return att
+
+    # ------------------------------------------------------------- terminals
+
+    def _filter_fanout(self, world, att, options, opt_mask, normalize: bool):
+        """Fan-out filter over a (B, K) option axis (FilterBatch with a
+        predicate_question_map, batch_base_ops.py:311-405)."""
+        from dfol_vqa_tpu.ops.cells import normalize_over_options
+
+        ll = _gather_attr_options(world.attr_ll, options)  # (B, K, O)
+        ll = normalize_over_options(ll, opt_mask, enabled=normalize and self.cfg.normalize_oracle)
+        ll = _apply_option_negation(ll, options)
+        return att[:, None, :] + ll  # (B, K, O)
+
+    def _terminal(self, world: World, arrays, spec: BucketSpec, atts, hard: bool):
+        """Compute the terminal op's log probability.
+
+        Returns (lp, qtype) where lp is (B,) for BINARY/STATEMENT and (B, K)
+        for QUERY terminals."""
+        cfg = self.cfg
+        term = spec.terminal_op
+        mask = world.obj_mask
+        opt_mask = arrays["opt_mask"]
+        options = arrays["options"]
+        ones = lambda x: jnp.ones(x.shape[:-1], x.dtype)
+
+        if term == "exist" or term == "end":
+            att = atts[0]
+            return _log_probability(att, ones(att), mask, hard)
+
+        if term == "verify_attrs":
+            # fan-out filter (normalized_probability=False), then AND across
+            # predicates by predicate->question sum (batch_gqa_ops.py:452-463)
+            att = atts[0]
+            att_k = self._filter_fanout(world, att, options, opt_mask, normalize=False)
+            combined = jnp.sum(att_k * opt_mask[:, :, None], axis=1)
+            return _log_probability(combined, ones(combined), mask, hard)
+
+        if term in ("query_attr", "choose_attr"):
+            att = atts[0]
+            att_k = self._filter_fanout(world, att, options, opt_mask, normalize=True)
+            quant = jnp.ones(att_k.shape[:2], att_k.dtype)
+            return _log_probability(att_k, quant, mask, hard)
+
+        if term == "choose_rel":
+            from dfol_vqa_tpu.ops.cells import normalize_over_options
+
+            att = atts[0]
+            aux = arrays["last_aux"]
+            s = arrays["last_flag"][:, None]
+            ll_aux = _gather_attr(world.attr_ll, aux)
+            x = jnp.where((aux != 0)[:, None], ll_aux, 0.0)
+            subj = s * x + (1.0 - s) * att
+            obj = s * att + (1.0 - s) * x
+            ll = _gather_rel_options(world.rel_ll, arrays["opt_rel_idx"])  # (B,K,O,O)
+            ll = normalize_over_options(ll, opt_mask, enabled=cfg.normalize_oracle)
+            ll = _apply_option_negation(ll, options)
+            subj2, obj2 = _relate_core(
+                subj[:, None, :].repeat(spec.n_options, 1),
+                obj[:, None, :].repeat(spec.n_options, 1),
+                ll,
+                mask,
+            )
+            chosen = s[:, :, None] * subj2 + (1.0 - s[:, :, None]) * obj2
+            quant = jnp.ones(chosen.shape[:2], chosen.dtype)
+            return _log_probability(chosen, quant, mask, hard)
+
+        if term == "verify_rel":
+            att = atts[0]
+            aux = arrays["last_aux"]
+            s = arrays["last_flag"][:, None]
+            ll_aux = _gather_attr(world.attr_ll, aux)
+            x = jnp.where((aux != 0)[:, None], ll_aux, 0.0)
+            subj = s * x + (1.0 - s) * att
+            obj = s * att + (1.0 - s) * x
+            ll = _gather_rel(world.rel_ll, arrays["last_rel_idx"], arrays["last_tok"])
+            subj2, obj2 = _relate_core(subj, obj, ll, mask)
+            final = s * subj2 + (1.0 - s) * obj2
+            return _log_probability(final, ones(final), mask, hard)
+
+        if term in ("and", "or"):
+            lp1 = _log_probability(atts[0], ones(atts[0]), mask, hard)
+            lp2 = _log_probability(atts[1], ones(atts[1]), mask, hard)
+            return logic.log_and(lp1, lp2) if term == "and" else logic.log_or(lp1, lp2)
+
+        if term in ("all_same", "all_different"):
+            # implication (precondition => all-same) before a FOR_ALL
+            # aggregation, then OR over the option fan-out
+            # (batch_gqa_ops.py:582-608)
+            att = atts[0]
+            att_k = self._filter_fanout(world, att, options, opt_mask, normalize=True)
+            log_post = logic.log_not(logic.log_and(att[:, None, :], logic.log_not(att_k)))
+            quant = jnp.zeros(log_post.shape[:2], log_post.dtype)  # FOR_ALL
+            lp_k = _log_probability(log_post, quant, mask, hard)  # (B, K)
+            lp = logic.log_not(jnp.sum(logic.log_not(lp_k) * opt_mask, axis=1))
+            if term == "all_different":
+                lp = logic.log_not(lp)
+            return lp
+
+        if term in ("two_same", "two_different"):
+            att_k1 = self._filter_fanout(world, atts[0], options, opt_mask, normalize=True)
+            att_k2 = self._filter_fanout(world, atts[1], options, opt_mask, normalize=True)
+            quant = jnp.ones(att_k1.shape[:2], att_k1.dtype)
+            lp_k = logic.log_and(
+                _log_probability(att_k1, quant, mask, hard),
+                _log_probability(att_k2, quant, mask, hard),
+            )
+            lp = logic.log_not(jnp.sum(logic.log_not(lp_k) * opt_mask, axis=1))
+            if term == "two_different":
+                lp = logic.log_not(lp)
+            return lp
+
+        if term == "compare":
+            # two branches filtered by the same attribute, log-softmax,
+            # is_less flip (batch_gqa_ops.py:730-758)
+            ll = _gather_attr(world.attr_ll, arrays["last_tok"])
+            lp1 = _log_probability(atts[0] + ll, ones(atts[0]), mask, hard)
+            lp2 = _log_probability(atts[1] + ll, ones(atts[1]), mask, hard)
+            lp = jax.nn.log_softmax(jnp.stack([lp1, lp2], axis=1), axis=1)
+            alpha = arrays["last_flag"][:, None]
+            return logic.log_parametric_not(lp, alpha, 1.0)
+
+        raise NotImplementedError(term)
+
+    # ---------------------------------------------------------------- output
+
+    def _answers_and_metrics(self, lp, arrays, spec: BucketSpec, qtype: QuestionType):
+        """Answer flags + accuracy match, fully on device.
+
+        QUERY tie rule: find_max_ind (util.py:64-66) — every option whose
+        exp(lp) equals the max and exceeds likelihood_threshold is an answer;
+        accuracy credit 1/|ties| (trainer.py:287-293), or first-answer-only
+        when cfg.first_answer (trainer.py:284-285)."""
+        cfg = self.cfg
+        out: Dict[str, jnp.ndarray] = {"log_probability": lp}
+        if qtype == QuestionType.QUERY and spec.terminal_op != "compare":
+            opt_mask = arrays["opt_mask"]
+            temp = jnp.exp(lp) * opt_mask
+            mx = jnp.max(temp, axis=1, keepdims=True)
+            flags = (temp == mx) & (temp > cfg.likelihood_threshold)
+            target = arrays["answer_opt"]
+            n_flags = jnp.sum(flags, axis=1)
+            hit = jnp.sum(flags * target, axis=1)
+            if cfg.first_answer:
+                first = jnp.argmax(flags, axis=1)  # first flagged option
+                match = jnp.take_along_axis(target, first[:, None], axis=1)[:, 0] * (
+                    n_flags > 0
+                )
+            else:
+                match = jnp.where(n_flags > 0, hit / jnp.maximum(n_flags, 1), 0.0)
+            out["answer_flags"] = flags
+            out["match"] = match
+        elif spec.terminal_op == "compare":
+            idx = jnp.argmax(lp, axis=1)
+            flags = jax.nn.one_hot(idx, 2) > 0
+            target = arrays["answer_opt"]
+            out["answer_flags"] = flags
+            out["match"] = jnp.take_along_axis(target, idx[:, None], axis=1)[:, 0]
+        else:  # BINARY / STATEMENT
+            p = jnp.exp(lp)
+            pred_yes = p > 0.5
+            target = arrays["answer_binary"] > 0.5
+            out["answer_flags"] = pred_yes[:, None]
+            out["match"] = (pred_yes == target).astype(jnp.float32)
+        return out
+
+    def _loss(self, lp, arrays, spec: BucketSpec, qtype: QuestionType, params):
+        """Per-question-type loss (trainer.py:181-262), summed over questions."""
+        qmask = arrays["question_mask"]
+        if qtype == QuestionType.STATEMENT:
+            loss = -jnp.sum(lp * qmask)
+        elif qtype == QuestionType.BINARY:
+            p = jnp.exp(lp)
+            t = arrays["answer_binary"]
+            # torch BCE clamps log at -100 (trainer.py:194)
+            lg = jnp.maximum(jnp.log(jnp.clip(p, 1e-45)), -100.0)
+            lg1 = jnp.maximum(jnp.log(jnp.clip(1.0 - p, 1e-45)), -100.0)
+            loss = -jnp.sum((t * lg + (1.0 - t) * lg1) * qmask)
+        elif qtype == QuestionType.QUERY:
+            # grouped softmax-CE over each question's options (trainer.py:207-230)
+            opt_mask = arrays["opt_mask"]
+            target = arrays["answer_opt"]
+            denom = logic.masked_logsumexp(lp, opt_mask, axis=1)
+            loss = jnp.sum((denom - jnp.sum(target * lp * opt_mask, axis=1)) * qmask)
+        else:
+            raise NotImplementedError(qtype)
+        if self.cfg.l1_lambda > 0:
+            leaves = jax.tree_util.tree_leaves(params)
+            total = sum(jnp.sum(jnp.abs(l)) for l in leaves)
+            n = sum(np.prod(l.shape) for l in leaves)
+            loss = loss + self.cfg.l1_lambda * total / max(1, int(n))
+        return loss
+
+    # ------------------------------------------------------------ public API
+
+    def forward(
+        self,
+        params,
+        objects: jnp.ndarray,
+        obj_mask: jnp.ndarray,
+        arrays: Dict[str, jnp.ndarray],
+        spec: BucketSpec,
+        is_training: bool,
+        rng=None,
+        modulator_switch: bool = True,
+        return_trace: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Execute one compiled batch (not jitted; see `step` for the jitted
+        wrapper). Mirrors BatchInterpreterBase.forward (…:72-183)."""
+        needs_rel = spec_needs_relations(spec)
+        world = self.build_world(
+            params,
+            objects,
+            obj_mask,
+            arrays.get("rel_tokens"),
+            rng=rng,
+            deterministic=not is_training,
+            needs_rel=needs_rel,
+        )
+        return self.execute(
+            params, world, arrays, spec, is_training,
+            modulator_switch=modulator_switch, return_trace=return_trace,
+        )
+
+    def execute(
+        self,
+        params,
+        world: World,
+        arrays: Dict[str, jnp.ndarray],
+        spec: BucketSpec,
+        is_training: bool,
+        modulator_switch: bool = True,
+        return_trace: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """Run a compiled batch against a prebuilt World (e.g. a static-oracle
+        test double or a cached scene)."""
+        cfg = self.cfg
+        qtype = question_type_of(spec.terminal_op)
+
+        modulations = None
+        use_modulator = (
+            cfg.activate_attention_transfer
+            and "calibrator" in params
+            and modulator_switch
+            and not (not is_training and qtype == QuestionType.QUERY)
+        )  # modulator disabled for open questions at test time (trainer.py:97)
+        if use_modulator:
+            from dfol_vqa_tpu.models.calibrator import compute_modulations
+
+            modulations = compute_modulations(
+                params["calibrator"], self, world, arrays, spec
+            )
+
+        atts = []
+        traces = []
+        for b, grid in enumerate(spec.grid):
+            mods_b = modulations
+            if return_trace:
+                att, tr = self._run_branch(world, arrays, b, grid, mods_b, collect_trace=True)
+                traces.append(tr)
+            else:
+                att = self._run_branch(world, arrays, b, grid, mods_b)
+            atts.append(att)
+
+        hard = (not is_training) and cfg.hard_mode
+        lp = self._terminal(world, arrays, spec, atts, hard)
+        out = self._answers_and_metrics(lp, arrays, spec, qtype)
+        out["loss"] = self._loss(lp, arrays, spec, qtype, params)
+        out["type"] = jnp.asarray(int(qtype))
+        if return_trace:
+            out["trace"] = traces
+        return out
+
+    def step(self, spec: BucketSpec, is_training: bool):
+        """Jitted forward for a bucket signature (cached per spec)."""
+        key = (spec, is_training)
+        if key not in self._step_cache:
+
+            @partial(jax.jit, static_argnames=())
+            def fn(params, objects, obj_mask, arrays, rng):
+                return self.forward(
+                    params, objects, obj_mask, arrays, spec, is_training, rng
+                )
+
+            self._step_cache[key] = fn
+        return self._step_cache[key]
+
+    def parameter_count(self, params) -> int:
+        from dfol_vqa_tpu.nn import param_count
+
+        return param_count(params)

@@ -1,0 +1,150 @@
+"""Program datasets and bucketed batch sampling.
+
+TPU-first rework of the reference data pipeline (src/nsvqa/data/
+data_pipeline.py:294-900). The reference relies on torch DataLoader worker
+processes; here datasets are lightweight readers and batching is bucketed by
+construction: a batch is always drawn from ONE file-dataset (the reference's
+MultiSetSampler invariant, data_pipeline.py:808-820), and files are
+segregated by terminal op (and optionally program length) by the
+preprocessor — which is exactly what keeps the executor's static bucket
+signatures few.
+
+Supports both reference on-disk formats: JSON-lines program files and the
+fixed-shape int32 HDF5 encoding.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from os.path import isfile, join, splitext
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from dfol_vqa_tpu.compiler.h5_codec import ProgramH5Codec
+from dfol_vqa_tpu.ontology import GQAOntology
+
+
+class ProgramDataset:
+    """One JSON-lines or HDF5 question file (ProgramDataset analog,
+    data_pipeline.py:294-453)."""
+
+    def __init__(self, input_file, ontology: GQAOntology, in_memory: bool = True):
+        self._ont = ontology
+        self._codec = ProgramH5Codec(ontology)
+        self._h5_cols: Optional[Dict[str, np.ndarray]] = None
+        self._rows: Optional[List[dict]] = None
+
+        if isinstance(input_file, (list, tuple)):
+            self._rows = list(input_file)
+        elif splitext(input_file)[1] == ".h5":
+            import h5py
+
+            with h5py.File(input_file, "r") as f:
+                self._h5_cols = {k: np.asarray(f[k]) for k in f.keys()}
+            self._n = self._h5_cols["image_id"].shape[0]
+        else:
+            with open(input_file, "r") as f:
+                self._rows = [json.loads(line) for line in f if line.strip()]
+        if self._rows is not None:
+            self._n = len(self._rows)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, idx: int) -> dict:
+        if self._rows is not None:
+            return self._rows[idx]
+        c = self._h5_cols
+        return self._codec.decode_row(
+            int(c["answer"][idx]),
+            int(c["image_id"][idx]),
+            c["branch_ops"][idx],
+            c["branch_args"][idx],
+            int(c["last_op"][idx]),
+            c["last_args"][idx],
+        )
+
+    @property
+    def terminal_op(self) -> str:
+        return self[0]["program"]["last_op"]["operator"]
+
+
+class GQADataManager:
+    """Directory scanner -> list of file datasets (data_pipeline.py:875-900)."""
+
+    def __init__(self, data_path, ontology: GQAOntology, in_memory: bool = True):
+        if isinstance(data_path, (list, tuple)):
+            self.datasets = [ProgramDataset(data_path, ontology, in_memory)]
+        elif isfile(data_path):
+            self.datasets = [ProgramDataset(data_path, ontology, in_memory)]
+        else:
+            files = sorted(
+                join(data_path, f)
+                for f in os.listdir(data_path)
+                if isfile(join(data_path, f)) and (f.endswith(".json") or f.endswith(".h5"))
+            )
+            self.datasets = [ProgramDataset(f, ontology, in_memory) for f in files]
+
+    def __len__(self) -> int:
+        return sum(len(d) for d in self.datasets)
+
+
+def iter_batches(
+    datasets: Sequence[ProgramDataset],
+    batch_size: int,
+    *,
+    shuffle: bool,
+    seed: int = 0,
+    drop_last: bool = False,
+    num_shards: int = 1,
+    shard_index: int = 0,
+    pad_to_batch: bool = True,
+) -> Iterator[List[dict]]:
+    """Yield question-dict batches, each drawn from a single file-dataset.
+
+    shuffle=True follows MultiSetSampler (data_pipeline.py:787-826): pick a
+    dataset with probability proportional to its remaining length, then take
+    its next batch. shuffle=False is MultiSetSequencialSampler (…:829-871).
+    ``num_shards``/``shard_index`` implement per-host sharding, making the
+    reference's dormant DistributedSampler plumbing (…:793-801) real.
+
+    ``pad_to_batch`` repeats the last question to fill partial batches (the
+    padded rows carry question_mask=0 downstream) so bucket shapes stay
+    static.
+    """
+    rng = np.random.default_rng(seed)
+    orders = []
+    for ds in datasets:
+        idx = np.arange(len(ds))
+        if shuffle:
+            rng.shuffle(idx)
+        idx = idx[shard_index::num_shards]
+        orders.append(list(idx))
+
+    cursors = [0] * len(datasets)
+
+    def remaining(i):
+        return len(orders[i]) - cursors[i]
+
+    while True:
+        rem = np.array([remaining(i) for i in range(len(datasets))], np.float64)
+        if rem.sum() <= 0:
+            break
+        if shuffle:
+            p = rem / rem.sum()
+            di = int(rng.choice(len(datasets), p=p))
+        else:
+            di = int(np.argmax(rem > 0))
+        take = min(batch_size, remaining(di))
+        sel = orders[di][cursors[di] : cursors[di] + take]
+        cursors[di] += take
+        if take < batch_size and drop_last:
+            continue
+        batch = [datasets[di][j] for j in sel]
+        n_pad = 0
+        if pad_to_batch and len(batch) < batch_size:
+            n_pad = batch_size - len(batch)
+            batch = batch + [batch[-1]] * n_pad
+        yield batch, n_pad

@@ -1,0 +1,108 @@
+"""Synthetic GQA-like question/scene generation for tests and benchmarks.
+
+The reference has no synthetic data path; we add one so the full pipeline
+(compiler -> oracle -> executor -> trainer) is exercisable without the
+GQA download. Questions are drawn over the real 2,335-token ontology so
+compiled shapes match production exactly.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from dfol_vqa_tpu.ontology import GQAOntology
+
+
+def generate_questions(
+    ontology: GQAOntology,
+    n: int,
+    terminal: str = "exist",
+    length: int = 1,
+    seed: int = 0,
+    image_pool: int = 64,
+    answer_mode: str = "random",
+) -> List[dict]:
+    """Generate `n` program dicts with terminal op `terminal`.
+
+    `length` = number of branch hops beyond select (filters/relates mixed),
+    matching the reference's length-segregation convention
+    (gqa_preprocess.py:136-147)."""
+    rng = np.random.default_rng(seed)
+    nouns = [t for t in ontology._nouns if t in ontology._arg_to_idx]
+    adjs = [t for t in ontology._adjectives if t in ontology._arg_to_idx]
+    rels = [t for t in ontology._relations if t in ontology._arg_to_idx]
+    cats = list(ontology._attribute_dict.keys())
+
+    def branch(hops: int) -> List[dict]:
+        ops = [{"operator": "select", "arguments": [str(rng.choice(nouns))]}]
+        for h in range(hops):
+            if rng.uniform() < 0.3 and h < hops:
+                ops.append(
+                    {
+                        "operator": "relate",
+                        "arguments": [
+                            str(rng.choice(rels)),
+                            bool(rng.uniform() < 0.5),
+                            str(rng.choice(nouns)),
+                        ],
+                    }
+                )
+            else:
+                ops.append({"operator": "filter", "arguments": [str(rng.choice(adjs))]})
+        return ops
+
+    two_branch = terminal in ("and", "or", "two_same", "two_different", "compare")
+    out = []
+    for i in range(n):
+        branches = [branch(length)] + ([branch(length)] if two_branch else [])
+        if terminal == "exist":
+            last = {"operator": "exist", "arguments": []}
+            ans = str(rng.choice(["yes", "no"]))
+        elif terminal == "verify_attrs":
+            k = int(rng.integers(1, 3))
+            last = {"operator": "verify_attrs", "arguments": [[str(rng.choice(adjs)) for _ in range(k)]]}
+            ans = str(rng.choice(["yes", "no"]))
+        elif terminal == "verify_rel":
+            last = {
+                "operator": "verify_rel",
+                "arguments": [str(rng.choice(rels)), bool(rng.uniform() < 0.5), str(rng.choice(nouns))],
+            }
+            ans = str(rng.choice(["yes", "no"]))
+        elif terminal == "query_attr":
+            cat = str(rng.choice(cats))
+            last = {"operator": "query_attr", "arguments": [cat]}
+            opts = [o for o in ontology.query(cat) if o in ontology._arg_to_idx]
+            ans = str(rng.choice(opts)) if opts else "yes"
+        elif terminal == "choose_attr":
+            opts = [str(rng.choice(adjs)), str(rng.choice(adjs))]
+            last = {"operator": "choose_attr", "arguments": [opts]}
+            ans = str(rng.choice(opts))
+        elif terminal == "choose_rel":
+            opts = [str(rng.choice(rels)), str(rng.choice(rels))]
+            last = {
+                "operator": "choose_rel",
+                "arguments": [opts, bool(rng.uniform() < 0.5), str(rng.choice(nouns))],
+            }
+            ans = str(rng.choice(opts))
+        elif terminal in ("and", "or"):
+            last = {"operator": terminal, "arguments": []}
+            ans = str(rng.choice(["yes", "no"]))
+        elif terminal in ("all_same", "all_different", "two_same", "two_different"):
+            last = {"operator": terminal, "arguments": [str(rng.choice(cats))]}
+            ans = str(rng.choice(["yes", "no"]))
+        elif terminal == "compare":
+            last = {"operator": "compare", "arguments": [str(rng.choice(adjs)), bool(rng.uniform() < 0.5)]}
+            ans = branches[int(rng.uniform() < 0.5)][0]["arguments"][0]
+        else:
+            raise ValueError(terminal)
+        out.append(
+            {
+                "program": {"branches": branches, "last_op": last},
+                "answer": ans,
+                "imageId": f"synth_{int(rng.integers(0, image_pool))}",
+                "question_id": f"sq{i}",
+            }
+        )
+    return out

@@ -1,0 +1,313 @@
+"""Attention-transfer calibration: bidirectional LSTM over the op sequence.
+
+TPU-native restructuring of the reference modulator machinery — the
+forward/backward `transform_attention` passes that thread LSTM states
+through the program and stash per-op modulations in op_id-keyed side dicts
+(batch_base_interpreter.py:87-140, batch_base_ops.py:407-467,598-684,
+gqa_interpreter_experiments.py:115-143). Because the AOT compiler gives us a
+static slot grid, both passes become unrolled scans producing one
+modulations tensor per slot/role, consumed functionally by the executor —
+no mutable cross-pass state.
+
+Reference semantics preserved:
+  * per-op features = [op one-hot(17) ‖ relate-flag ‖ GloVe token embedding]
+    (batch_base_ops.py:265-273, batch_gqa_interpreter.py:80-86);
+  * relate combines the carry state with a fresh select-side state by
+    elementwise sum (batch_base_ops.py:647-656);
+  * modulations_i = sigmoid(Linear([h_fwd after op i ‖ h_bwd before op i]))
+    with the zero-weight / -log(9)-bias init that makes the initial
+    transform the identity (gqa_interpreter_experiments.py:124-132);
+  * option fan-out ops expand the state per predicate on the way forward and
+    sum (squeeze) per question on the way back (batch_base_types.py:300-310);
+  * the backward pass starts from zero states at the terminal
+    (batch_base_interpreter.py:115-116).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dfol_vqa_tpu import nn
+from dfol_vqa_tpu.compiler.program_compiler import (
+    OP_FILTER,
+    OP_PAD,
+    OP_RELATE,
+    OP_SELECT,
+    BucketSpec,
+)
+from dfol_vqa_tpu.config import Config
+
+# batch_gqa_interpreter.py:69-70
+OPS_INDEX = {
+    "all_different": 0, "all_same": 1, "and": 2, "choose_attr": 3, "choose_rel": 4,
+    "compare": 5, "end": 6, "exist": 7, "filter": 8, "or": 9, "query_attr": 10,
+    "relate": 11, "select": 12, "two_different": 13, "two_same": 14,
+    "verify_attrs": 15, "verify_rel": 16, "object_attr": 3, "object_rel": 4, "scene": 6,
+}
+OPS_NUM = 17
+MOD_DIM = 4  # output_dim (gqa_interpreter_experiments.py:119)
+MAX_ACTIVATION = 10.0
+
+
+def init_calibrator_params(key, cfg: Config, ontology) -> Dict[str, Any]:
+    in_dim = cfg.word_embedding_dim + 1 + OPS_NUM
+    k1, k2 = jax.random.split(key)
+    out_b = np.full((MOD_DIM,), -np.log(MAX_ACTIVATION - 1.0), np.float32)
+    if MOD_DIM >= 4:
+        out_b[3] = 0.0
+    return {
+        "fwd": nn.lstm_cell_init(k1, in_dim, cfg.attention_transfer_state_dim),
+        "bwd": nn.lstm_cell_init(k2, in_dim, cfg.attention_transfer_state_dim),
+        "out": {
+            "w": jnp.zeros((2 * cfg.attention_transfer_state_dim, MOD_DIM), jnp.float32),
+            "b": jnp.asarray(out_b),
+        },
+    }
+
+
+def _onehot(op_name: str) -> np.ndarray:
+    v = np.zeros((OPS_NUM,), np.float32)
+    v[OPS_INDEX[op_name]] = 1.0
+    return v
+
+
+class _Ctx:
+    """Shared tensors for both passes."""
+
+    def __init__(self, calib, emb_matrix, arrays, spec: BucketSpec):
+        self.calib = calib
+        self.emb = emb_matrix  # (V+1, D)
+        self.arrays = arrays
+        self.spec = spec
+        B = arrays["op_mask"].shape[0]
+        S = calib["fwd"]["w_hh"].shape[0]
+        self.B, self.S = B, S
+
+    def zeros(self):
+        return (jnp.zeros((self.B, self.S)), jnp.zeros((self.B, self.S)))
+
+    def feat(self, op_name: str, flag: float, tok: jnp.ndarray) -> jnp.ndarray:
+        """[onehot ‖ flag ‖ embedding(|tok|)], zeroed rows where tok == 0."""
+        B = tok.shape[0]
+        oh = jnp.broadcast_to(jnp.asarray(_onehot(op_name)), (B, OPS_NUM))
+        fl = jnp.full((B, 1), flag, jnp.float32)
+        e = jnp.take(self.emb, jnp.abs(tok), axis=0)
+        f = jnp.concatenate([oh, fl, e], axis=1)
+        return jnp.where((tok != 0)[:, None], f, 0.0)
+
+    def lstm(self, which: str, x, state):
+        return nn.lstm_cell(self.calib[which], x, state)
+
+    def gate(self, new, old, valid):
+        g = valid[:, None]
+        return (new[0] * g + old[0] * (1 - g), new[1] * g + old[1] * (1 - g))
+
+    def any_valid(self, tok):
+        return (jnp.max(jnp.abs(tok)) > 0).astype(jnp.float32)
+
+    def maybe(self, new, old, any_v):
+        return (new[0] * any_v + old[0] * (1 - any_v), new[1] * any_v + old[1] * (1 - any_v))
+
+    def mod(self, h_fwd, h_bwd):
+        p = self.calib["out"]
+        x = jnp.concatenate([h_fwd, h_bwd], axis=-1)
+        return jax.nn.sigmoid(
+            jnp.dot(x, p["w"], preferred_element_type=jnp.float32) + p["b"]
+        )
+
+
+def _branch_slot_args(ctx: _Ctx, b: int, si: int):
+    a = ctx.arrays
+    return (
+        a["arg_tok"][:, b, si],
+        a["arg_aux"][:, b, si],
+        a["arg_flag"][:, b, si],
+        a["op_mask"][:, b, si],
+    )
+
+
+def _forward_branch(ctx: _Ctx, b: int, grid) -> Tuple[Any, List[Optional[dict]]]:
+    """Forward LSTM over one branch; returns (end state, per-slot fwd h's)."""
+    carry = ctx.zeros()
+    fwd: List[Optional[dict]] = []
+    for si, opc in enumerate(grid):
+        if opc == OP_PAD:
+            fwd.append(None)
+            continue
+        tok, aux, s, m = _branch_slot_args(ctx, b, si)
+        if opc == OP_SELECT:
+            f = ctx.feat("select", 0.0, tok)
+            new = ctx.lstm("fwd", f, ctx.zeros())
+            carry = ctx.maybe(new, ctx.zeros(), ctx.any_valid(tok))
+            fwd.append({"h": carry[0]})
+        elif opc == OP_FILTER:
+            f = ctx.feat("filter", 0.0, tok)
+            new = ctx.lstm("fwd", f, carry)
+            carry = ctx.gate(new, carry, m)
+            fwd.append({"h": new[0]})
+        else:  # OP_RELATE
+            f_sel = ctx.feat("relate", 0.0, aux)
+            side_new = ctx.lstm("fwd", f_sel, ctx.zeros())
+            side = ctx.maybe(side_new, ctx.zeros(), ctx.any_valid(aux))
+            f_rel = ctx.feat("relate", 1.0, tok)
+            agg = (side[0] + carry[0], side[1] + carry[1])
+            new = ctx.lstm("fwd", f_rel, agg)
+            carry = ctx.gate(new, carry, m)
+            fwd.append({"h": new[0], "h_sel": side[0]})
+    return carry, fwd
+
+
+def _backward_branch(ctx: _Ctx, b: int, grid, carry, fwd) -> List[Optional[dict]]:
+    """Backward LSTM over one branch (reversed); returns per-slot mods."""
+    mods: List[Optional[dict]] = [None] * len(grid)
+    for si in reversed(range(len(grid))):
+        opc = grid[si]
+        if opc == OP_PAD:
+            continue
+        tok, aux, s, m = _branch_slot_args(ctx, b, si)
+        if opc == OP_SELECT:
+            mods[si] = {"filter": ctx.mod(fwd[si]["h"], carry[0])}
+            # backward select computes a new state but it is the branch start
+        elif opc == OP_FILTER:
+            mods[si] = {"filter": ctx.mod(fwd[si]["h"], carry[0])}
+            f = ctx.feat("filter", 0.0, tok)
+            new = ctx.lstm("bwd", f, carry)
+            carry = ctx.gate(new, carry, m)
+        else:  # OP_RELATE
+            sc = s[:, None]
+            subj_in = carry[0] * sc  # incoming state routed to chain side
+            obj_in = carry[0] * (1 - sc)
+            mods_si = {
+                "subject": ctx.mod(fwd[si]["h"], subj_in),
+                "object": ctx.mod(fwd[si]["h"], obj_in),
+            }
+            f_rel = ctx.feat("relate", 1.0, tok)
+            new = ctx.lstm("bwd", f_rel, carry)
+            mods_si["select"] = ctx.mod(fwd[si]["h_sel"], new[0])
+            mods[si] = mods_si
+            carry = ctx.gate(new, carry, m)
+    return mods
+
+
+def _terminal_fanout_fwd(ctx: _Ctx, op_name: str, carry, toks, opt_mask):
+    """Per-option forward LSTM from the branch-end carry; (B, K, S) h's."""
+    K = toks.shape[1]
+    hs = []
+    for k in range(K):
+        f = ctx.feat(op_name, 0.0, toks[:, k])
+        new = ctx.lstm("fwd", f, carry)
+        hs.append(new[0])
+    return jnp.stack(hs, axis=1)
+
+
+def _terminal_fanout_bwd(ctx: _Ctx, op_name: str, h_fwd_k, toks, opt_mask):
+    """Per-option backward LSTM from zero states; returns (mods (B,K,4),
+    squeezed carry for the branches)."""
+    K = toks.shape[1]
+    mods, hs, cs = [], [], []
+    zero_h = jnp.zeros((ctx.B, ctx.S))
+    for k in range(K):
+        mods.append(ctx.mod(h_fwd_k[:, k], zero_h))
+        f = ctx.feat(op_name, 0.0, toks[:, k])
+        new = ctx.lstm("bwd", f, ctx.zeros())
+        hs.append(new[0])
+        cs.append(new[1])
+    m = opt_mask[:, :, None]
+    carry = (
+        jnp.sum(jnp.stack(hs, 1) * m, axis=1),
+        jnp.sum(jnp.stack(cs, 1) * m, axis=1),
+    )
+    return jnp.stack(mods, axis=1), carry
+
+
+def compute_modulations(calib, interp, world, arrays, spec: BucketSpec) -> Dict[str, Any]:
+    """Run both calibration passes; returns modulation tensors keyed for the
+    executor: 'slots'[branch][slot] role dicts + 'terminal' role dict."""
+    ctx = _Ctx(calib, interp.embedding_matrix, arrays, spec)
+    term = spec.terminal_op
+
+    # ---------------------------------------------------------------- forward
+    carries, fwds = [], []
+    for b, grid in enumerate(spec.grid):
+        carry, fwd = _forward_branch(ctx, b, grid)
+        carries.append(carry)
+        fwds.append(fwd)
+
+    terminal: Dict[str, Any] = {}
+    toks = arrays.get("options")
+    opt_mask = arrays.get("opt_mask")
+
+    if term in ("query_attr", "choose_attr", "verify_attrs", "all_same", "all_different"):
+        h_fwd_k = _terminal_fanout_fwd(ctx, term, carries[0], toks, opt_mask)
+        terminal["fanout"], bcarry = _terminal_fanout_bwd(ctx, term, h_fwd_k, toks, opt_mask)
+        bcarries = [bcarry]
+    elif term in ("two_same", "two_different"):
+        bcarries = []
+        for b in range(2):
+            h_fwd_k = _terminal_fanout_fwd(ctx, term, carries[b], toks, opt_mask)
+            mods_k, bcarry = _terminal_fanout_bwd(ctx, term, h_fwd_k, toks, opt_mask)
+            terminal[f"fanout{b}"] = mods_k
+            bcarries.append(bcarry)
+    elif term == "compare":
+        bcarries = []
+        attr_tok = arrays["last_tok"]
+        zero_h = jnp.zeros((ctx.B, ctx.S))
+        for b in range(2):
+            f = ctx.feat("compare", 0.0, attr_tok)
+            h_fwd = ctx.lstm("fwd", f, carries[b])[0]
+            terminal[f"branch{b}"] = ctx.mod(h_fwd, zero_h)
+            bcarries.append(ctx.lstm("bwd", f, ctx.zeros()))
+    elif term == "verify_rel":
+        # relate-style terminal (GQAVerifyRelBatch -> GQARelateBatch transform)
+        aux, rel_tok = arrays["last_aux"], arrays["last_tok"]
+        f_sel = ctx.feat(term, 0.0, aux)
+        side_new = ctx.lstm("fwd", f_sel, ctx.zeros())
+        side = ctx.maybe(side_new, ctx.zeros(), ctx.any_valid(aux))
+        f_rel = ctx.feat(term, 1.0, rel_tok)
+        h_fwd = ctx.lstm("fwd", f_rel, (side[0] + carries[0][0], side[1] + carries[0][1]))[0]
+        zero_h = jnp.zeros((ctx.B, ctx.S))
+        terminal["subject"] = ctx.mod(h_fwd, zero_h)
+        terminal["object"] = ctx.mod(h_fwd, zero_h)
+        new = ctx.lstm("bwd", f_rel, ctx.zeros())
+        terminal["select"] = ctx.mod(side[0], new[0])
+        bcarries = [new]
+    elif term == "choose_rel":
+        aux = arrays["last_aux"]
+        f_sel = ctx.feat(term, 0.0, aux)
+        side_new = ctx.lstm("fwd", f_sel, ctx.zeros())
+        side = ctx.maybe(side_new, ctx.zeros(), ctx.any_valid(aux))
+        K = toks.shape[1]
+        zero_h = jnp.zeros((ctx.B, ctx.S))
+        mods_s, mods_o, hs, cs = [], [], [], []
+        for k in range(K):
+            f_rel = ctx.feat(term, 1.0, toks[:, k])
+            h_fwd = ctx.lstm(
+                "fwd", f_rel, (side[0] + carries[0][0], side[1] + carries[0][1])
+            )[0]
+            mods_s.append(ctx.mod(h_fwd, zero_h))
+            mods_o.append(ctx.mod(h_fwd, zero_h))
+            new = ctx.lstm("bwd", f_rel, ctx.zeros())
+            hs.append(new[0])
+            cs.append(new[1])
+        m = opt_mask[:, :, None]
+        carry = (jnp.sum(jnp.stack(hs, 1) * m, 1), jnp.sum(jnp.stack(cs, 1) * m, 1))
+        terminal["subject"] = jnp.stack(mods_s, 1)
+        terminal["object"] = jnp.stack(mods_o, 1)
+        terminal["select"] = ctx.mod(side[0], carry[0])
+        bcarries = [carry]
+    else:  # exist / and / or / end / scene: passthrough, zero backward start
+        bcarries = [ctx.zeros() for _ in spec.grid]
+
+    if len(bcarries) < len(spec.grid):
+        bcarries = bcarries * len(spec.grid)
+
+    # --------------------------------------------------------------- backward
+    slots = []
+    for b, grid in enumerate(spec.grid):
+        slots.append(_backward_branch(ctx, b, grid, bcarries[b], fwds[b]))
+
+    return {"slots": slots, "terminal": terminal}

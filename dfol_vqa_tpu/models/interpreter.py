@@ -120,6 +120,22 @@ def _relate_core(subj, obj, ll, obj_mask):
     return relate_update(subj, obj, ll, ones, ones, obj_mask)
 
 
+def _modulate(att: jnp.ndarray, mods: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Attention calibration transform (batch_base_types.py:170-187) on a raw
+    log-attention tensor; mods (..., 4) in sigmoid space broadcast over O."""
+    if mods is None:
+        return att
+    max_activation = 10.0
+    alpha = mods[..., 0:1] * max_activation
+    beta = mods[..., 1:2] * max_activation
+    c = mods[..., 2:3] * max_activation
+    d = mods[..., 3:4]
+    temp = alpha * att + logic.safe_log(c) + logic.safe_log(d)
+    return temp - logic.safe_log(
+        jnp.exp(beta * logic.log_not(att) + logic.safe_log(1.0 - d)) + jnp.exp(temp)
+    )
+
+
 class Interpreter:
     """Builds worlds and executes compiled program batches.
 
@@ -130,6 +146,18 @@ class Interpreter:
         self.cfg = cfg
         self.ont = ontology
         self._step_cache: Dict[Any, Any] = {}
+        self._emb_matrix = None
+
+    @property
+    def embedding_matrix(self):
+        """Whole-vocabulary GloVe matrix (V+1, D) as a device array; used by
+        the calibrator features (replaces per-batch meta_data['embedding'])."""
+        if self._emb_matrix is None:
+            m = self.ont.embedding_matrix()
+            if m.shape[1] != self.cfg.word_embedding_dim:
+                m = m[:, : self.cfg.word_embedding_dim]
+            self._emb_matrix = jnp.asarray(m)
+        return self._emb_matrix
 
     # ------------------------------------------------------------ parameters
 
@@ -197,41 +225,47 @@ class Interpreter:
         arrays: Dict[str, jnp.ndarray],
         branch: int,
         grid: Tuple[int, ...],
-        modulations: Optional[jnp.ndarray] = None,
+        slot_mods: Optional[list] = None,
         collect_trace: bool = False,
     ):
         """Execute one branch's slot sequence; returns final (B, O) attention.
 
         Mirrors the reference execution loop (batch_base_interpreter.py:
-        146-172) with `gate`-by-mask after every op (…:166-167)."""
+        146-172) with `gate`-by-mask after every op (…:166-167). `slot_mods`
+        is the calibrator's per-slot role dict list (models/calibrator.py)."""
         B, O = world.obj_mask.shape
         att = jnp.zeros((B, O), jnp.float32)
         trace = []
         for si, opc in enumerate(grid):
             if opc == OP_PAD:
                 continue
+            mods = slot_mods[si] if slot_mods is not None else None
             m = arrays["op_mask"][:, branch, si]  # (B,)
             tok = arrays["arg_tok"][:, branch, si]
             if opc in (OP_SELECT, OP_FILTER):
                 ll = _gather_attr(world.attr_ll, tok)
                 upd = jnp.where(tok != 0, 1.0, 0.0) * m
                 new = att + ll
+                if mods is not None:
+                    new = _modulate(new, mods.get("filter"))
             else:  # OP_RELATE: select new set (+filter), relate, keep new side
                 aux = arrays["arg_aux"][:, branch, si]
                 s = arrays["arg_flag"][:, branch, si][:, None]
                 ll_aux = _gather_attr(world.attr_ll, aux)
                 x = jnp.where((aux != 0)[:, None], ll_aux, 0.0)
+                if mods is not None and mods.get("select") is not None:
+                    x = jnp.where(
+                        (aux != 0)[:, None], _modulate(x, mods["select"]), x
+                    )
                 subj = s * x + (1.0 - s) * att
                 obj = s * att + (1.0 - s) * x
                 ll_rel = _gather_rel(world.rel_ll, arrays["rel_idx"][:, branch, si], tok)
                 subj2, obj2 = _relate_core(subj, obj, ll_rel, world.obj_mask)
+                if mods is not None:
+                    subj2 = _modulate(subj2, mods.get("subject"))
+                    obj2 = _modulate(obj2, mods.get("object"))
                 new = s * subj2 + (1.0 - s) * obj2
                 upd = jnp.where(tok != 0, 1.0, 0.0) * m
-            if modulations is not None:
-                # attention calibration applied to this op's output
-                # (batch_base_ops.py:401-403)
-                vs = VariableSet(new, jnp.ones((B,)), world.obj_mask)
-                new = vs.apply_modulations(modulations[:, branch, si], att).log_attention
             att = upd[:, None] * new + (1.0 - upd[:, None]) * att
             if collect_trace:
                 trace.append(att)
@@ -241,7 +275,7 @@ class Interpreter:
 
     # ------------------------------------------------------------- terminals
 
-    def _filter_fanout(self, world, att, options, opt_mask, normalize: bool):
+    def _filter_fanout(self, world, att, options, opt_mask, normalize: bool, mods=None):
         """Fan-out filter over a (B, K) option axis (FilterBatch with a
         predicate_question_map, batch_base_ops.py:311-405)."""
         from dfol_vqa_tpu.ops.cells import normalize_over_options
@@ -249,9 +283,14 @@ class Interpreter:
         ll = _gather_attr_options(world.attr_ll, options)  # (B, K, O)
         ll = normalize_over_options(ll, opt_mask, enabled=normalize and self.cfg.normalize_oracle)
         ll = _apply_option_negation(ll, options)
-        return att[:, None, :] + ll  # (B, K, O)
+        out = att[:, None, :] + ll  # (B, K, O)
+        if mods is not None:
+            out = _modulate(out, mods)
+        return out
 
-    def _terminal(self, world: World, arrays, spec: BucketSpec, atts, hard: bool):
+    def _terminal(
+        self, world: World, arrays, spec: BucketSpec, atts, hard: bool, tmods=None
+    ):
         """Compute the terminal op's log probability.
 
         Returns (lp, qtype) where lp is (B,) for BINARY/STATEMENT and (B, K)
@@ -271,13 +310,19 @@ class Interpreter:
             # fan-out filter (normalized_probability=False), then AND across
             # predicates by predicate->question sum (batch_gqa_ops.py:452-463)
             att = atts[0]
-            att_k = self._filter_fanout(world, att, options, opt_mask, normalize=False)
+            att_k = self._filter_fanout(
+                world, att, options, opt_mask, normalize=False,
+                mods=tmods.get("fanout") if tmods else None,
+            )
             combined = jnp.sum(att_k * opt_mask[:, :, None], axis=1)
             return _log_probability(combined, ones(combined), mask, hard)
 
         if term in ("query_attr", "choose_attr"):
             att = atts[0]
-            att_k = self._filter_fanout(world, att, options, opt_mask, normalize=True)
+            att_k = self._filter_fanout(
+                world, att, options, opt_mask, normalize=True,
+                mods=tmods.get("fanout") if tmods else None,
+            )
             quant = jnp.ones(att_k.shape[:2], att_k.dtype)
             return _log_probability(att_k, quant, mask, hard)
 
@@ -289,6 +334,8 @@ class Interpreter:
             s = arrays["last_flag"][:, None]
             ll_aux = _gather_attr(world.attr_ll, aux)
             x = jnp.where((aux != 0)[:, None], ll_aux, 0.0)
+            if tmods and tmods.get("select") is not None:
+                x = jnp.where((aux != 0)[:, None], _modulate(x, tmods["select"]), x)
             subj = s * x + (1.0 - s) * att
             obj = s * att + (1.0 - s) * x
             ll = _gather_rel_options(world.rel_ll, arrays["opt_rel_idx"])  # (B,K,O,O)
@@ -300,6 +347,9 @@ class Interpreter:
                 ll,
                 mask,
             )
+            if tmods:
+                subj2 = _modulate(subj2, tmods.get("subject"))
+                obj2 = _modulate(obj2, tmods.get("object"))
             chosen = s[:, :, None] * subj2 + (1.0 - s[:, :, None]) * obj2
             quant = jnp.ones(chosen.shape[:2], chosen.dtype)
             return _log_probability(chosen, quant, mask, hard)
@@ -310,10 +360,15 @@ class Interpreter:
             s = arrays["last_flag"][:, None]
             ll_aux = _gather_attr(world.attr_ll, aux)
             x = jnp.where((aux != 0)[:, None], ll_aux, 0.0)
+            if tmods and tmods.get("select") is not None:
+                x = jnp.where((aux != 0)[:, None], _modulate(x, tmods["select"]), x)
             subj = s * x + (1.0 - s) * att
             obj = s * att + (1.0 - s) * x
             ll = _gather_rel(world.rel_ll, arrays["last_rel_idx"], arrays["last_tok"])
             subj2, obj2 = _relate_core(subj, obj, ll, mask)
+            if tmods:
+                subj2 = _modulate(subj2, tmods.get("subject"))
+                obj2 = _modulate(obj2, tmods.get("object"))
             final = s * subj2 + (1.0 - s) * obj2
             return _log_probability(final, ones(final), mask, hard)
 
@@ -327,7 +382,10 @@ class Interpreter:
             # aggregation, then OR over the option fan-out
             # (batch_gqa_ops.py:582-608)
             att = atts[0]
-            att_k = self._filter_fanout(world, att, options, opt_mask, normalize=True)
+            att_k = self._filter_fanout(
+                world, att, options, opt_mask, normalize=True,
+                mods=tmods.get("fanout") if tmods else None,
+            )
             log_post = logic.log_not(logic.log_and(att[:, None, :], logic.log_not(att_k)))
             quant = jnp.zeros(log_post.shape[:2], log_post.dtype)  # FOR_ALL
             lp_k = _log_probability(log_post, quant, mask, hard)  # (B, K)
@@ -337,8 +395,14 @@ class Interpreter:
             return lp
 
         if term in ("two_same", "two_different"):
-            att_k1 = self._filter_fanout(world, atts[0], options, opt_mask, normalize=True)
-            att_k2 = self._filter_fanout(world, atts[1], options, opt_mask, normalize=True)
+            att_k1 = self._filter_fanout(
+                world, atts[0], options, opt_mask, normalize=True,
+                mods=tmods.get("fanout0") if tmods else None,
+            )
+            att_k2 = self._filter_fanout(
+                world, atts[1], options, opt_mask, normalize=True,
+                mods=tmods.get("fanout1") if tmods else None,
+            )
             quant = jnp.ones(att_k1.shape[:2], att_k1.dtype)
             lp_k = logic.log_and(
                 _log_probability(att_k1, quant, mask, hard),
@@ -353,8 +417,12 @@ class Interpreter:
             # two branches filtered by the same attribute, log-softmax,
             # is_less flip (batch_gqa_ops.py:730-758)
             ll = _gather_attr(world.attr_ll, arrays["last_tok"])
-            lp1 = _log_probability(atts[0] + ll, ones(atts[0]), mask, hard)
-            lp2 = _log_probability(atts[1] + ll, ones(atts[1]), mask, hard)
+            a1, a2 = atts[0] + ll, atts[1] + ll
+            if tmods:
+                a1 = _modulate(a1, tmods.get("branch0"))
+                a2 = _modulate(a2, tmods.get("branch1"))
+            lp1 = _log_probability(a1, ones(atts[0]), mask, hard)
+            lp2 = _log_probability(a2, ones(atts[1]), mask, hard)
             lp = jax.nn.log_softmax(jnp.stack([lp1, lp2], axis=1), axis=1)
             alpha = arrays["last_flag"][:, None]
             return logic.log_parametric_not(lp, alpha, 1.0)
@@ -493,7 +561,7 @@ class Interpreter:
         atts = []
         traces = []
         for b, grid in enumerate(spec.grid):
-            mods_b = modulations
+            mods_b = modulations["slots"][b] if modulations is not None else None
             if return_trace:
                 att, tr = self._run_branch(world, arrays, b, grid, mods_b, collect_trace=True)
                 traces.append(tr)
@@ -502,7 +570,8 @@ class Interpreter:
             atts.append(att)
 
         hard = (not is_training) and cfg.hard_mode
-        lp = self._terminal(world, arrays, spec, atts, hard)
+        tmods = modulations["terminal"] if modulations is not None else None
+        lp = self._terminal(world, arrays, spec, atts, hard, tmods)
         out = self._answers_and_metrics(lp, arrays, spec, qtype)
         out["loss"] = self._loss(lp, arrays, spec, qtype, params)
         out["type"] = jnp.asarray(int(qtype))

@@ -1,0 +1,83 @@
+"""Checkpoint save/restore with partial (strict=False) semantics.
+
+Mirrors the reference checkpoint layout — ``model_path/model_name/version/
+{best,last}/<model_name>`` (base_experiment.py:54-64) with the global step
+riding inside the checkpoint (batch_base_interpreter.py:21,39-43) — and its
+``strict=False`` load: parameters present in the file are restored, missing
+ones keep their current values (enables calibrator-on-top-of-frozen-oracle
+curricula, README.md curriculum 6-7).
+
+Format: a single .npz of '/'-flattened pytree leaves; no framework
+dependency, trivially inspectable.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    if tree is None:
+        return out
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _set_path(tree, path, value) -> bool:
+    key, _, rest = path.partition("/")
+    if isinstance(tree, dict):
+        if key not in tree:
+            return False
+        if rest:
+            return _set_path(tree[key], rest, value)
+        tree[key] = value
+        return True
+    if isinstance(tree, (list, tuple)):
+        i = int(key)
+        if i >= len(tree):
+            return False
+        if rest:
+            return _set_path(tree[i], rest, value)
+        tree[i] = value
+        return True
+    return False
+
+
+def save(export_path_base: str, name: str, params, global_step: int = 0):
+    """Write params (+step) to ``export_path_base/name`` (.npz)."""
+    os.makedirs(export_path_base, exist_ok=True)
+    flat = _flatten(jax.device_get(params))
+    flat["__global_step__"] = np.asarray(global_step)
+    np.savez(os.path.join(export_path_base, name), **flat)
+
+
+def load(import_path_base: str, name: str, params) -> Tuple[Any, int]:
+    """Partial restore into a (mutable, dict/list-based) params pytree.
+
+    Returns (params, global_step); unknown keys in the file are ignored and
+    params paths absent from the file keep their values — strict=False."""
+    path = os.path.join(import_path_base, name)
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
+    data = np.load(path, allow_pickle=False)
+    step = int(data["__global_step__"]) if "__global_step__" in data else 0
+    import copy
+
+    params = copy.deepcopy(params)
+    for key in data.files:
+        if key == "__global_step__":
+            continue
+        _set_path(params, key, data[key])
+    return params, step

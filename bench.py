@@ -1,0 +1,171 @@
+"""Benchmark: GQA questions/sec/chip on the BASELINE.json config-1 workload.
+
+Workload = single-hop binary `exist` questions, batch 32, precomputed
+(synthetic) object features with 8-24 objects per image at production dims
+(2048-d boxes, 512-d oracle, 2,335-token vocabulary head) — mirroring the
+reference measurement in scripts/measure_reference.py. A secondary
+multi-hop relational config (3 hops incl. a relate) is also measured and
+reported in the JSON line's extras.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "questions/sec", "vs_baseline": N}
+vs_baseline = our throughput / the reference PyTorch CPU throughput recorded
+in BASELINE_MEASURED.json (regenerate with scripts/measure_reference.py).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+BATCH = 32
+O_PAD = 24
+MIN_OBJ, MAX_OBJ = 8, 24
+N_DISTINCT = 4  # distinct batches cycled to avoid trivial caching
+STEADY_ITERS = 30
+
+
+def build_batches(hops: int, seed: int = 0):
+    import jax.numpy as jnp
+
+    from dfol_vqa_tpu.compiler.program_compiler import ProgramCompiler
+    from dfol_vqa_tpu.config import Config
+    from dfol_vqa_tpu.data.dataset import ProgramDataset
+    from dfol_vqa_tpu.data.features import SyntheticFeatures
+    from dfol_vqa_tpu.data.loader import BatchLoader
+    from dfol_vqa_tpu.models.interpreter import Interpreter
+    from dfol_vqa_tpu.ontology import GQAOntology
+
+    cfg = Config()
+    cfg.tpu.max_object_num = O_PAD
+    ont = GQAOntology()
+    interp = Interpreter(cfg, ont)
+
+    rng = np.random.default_rng(seed)
+    nouns = [t for t in ont._nouns if t in ont._arg_to_idx]
+    adjs = [t for t in ont._adjectives if t in ont._arg_to_idx]
+    rels = [t for t in ont._relations if t in ont._arg_to_idx]
+
+    def program(i):
+        ops = [{"operator": "select", "arguments": [str(rng.choice(nouns))]}]
+        for h in range(hops - 1):
+            if h % 2 == 1:
+                ops.append({"operator": "relate",
+                            "arguments": [str(rng.choice(rels)), True, str(rng.choice(nouns))]})
+            else:
+                ops.append({"operator": "filter", "arguments": [str(rng.choice(adjs))]})
+        return {
+            "program": {"branches": [ops], "last_op": {"operator": "exist", "arguments": []}},
+            "answer": "yes", "imageId": f"img{i}", "question_id": f"q{i}",
+        }
+
+    qs = [program(i) for i in range(BATCH * N_DISTINCT)]
+    ds = ProgramDataset(qs, ont)
+    compiler = ProgramCompiler(ont, object_num=O_PAD, rel_slots=cfg.tpu.rel_table_size)
+    feats = SyntheticFeatures(box_dim=cfg.box_features_dim, min_objects=MIN_OBJ,
+                              max_objects=MAX_OBJ, seed=seed)
+    loader = BatchLoader([ds], compiler, feats, BATCH, O_PAD, shuffle=False, prefetch=0)
+    batches = [
+        (b.spec, np.asarray(b.objects), np.asarray(b.obj_mask),
+         {k: np.asarray(v) for k, v in b.arrays.items()})
+        for b in loader
+    ]
+    return interp, batches
+
+
+def measure(hops: int, transfer_dtype: str = "bfloat16") -> float:
+    """Pipelined streaming throughput: background host->device transfers
+    overlap device compute (data/device_prefetch.py), as in any production
+    input pipeline. Includes per-batch transfer of features + program
+    tensors."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        import ml_dtypes
+
+        bf16 = ml_dtypes.bfloat16
+    except ImportError:
+        bf16 = None
+        transfer_dtype = "float32"
+
+    interp, batches = build_batches(hops)
+    params = jax.device_put(interp.init_params(jax.random.PRNGKey(0)))
+
+    host_batches = []
+    for spec, obj, mask, arrays in batches:
+        if transfer_dtype == "bfloat16":
+            obj = obj.astype(bf16)
+        host_batches.append((spec, obj, mask, arrays))
+
+    step_fns = {}
+    for spec, *_ in host_batches:
+        if spec not in step_fns:
+            step_fns[spec] = interp.step(spec, is_training=False)
+
+    # compile
+    for spec, obj, mask, arrays in host_batches:
+        out = step_fns[spec](params, jax.device_put(obj), jax.device_put(mask),
+                             jax.device_put(arrays), None)
+    jax.block_until_ready(out["log_probability"])
+
+    import queue
+    import threading
+
+    n_stream = STEADY_ITERS * len(host_batches)
+
+    def producer(q):
+        for i in range(n_stream):
+            spec, obj, mask, arrays = host_batches[i % len(host_batches)]
+            q.put((spec, jax.device_put(obj), jax.device_put(mask), jax.device_put(arrays)))
+        q.put(None)
+
+    q: "queue.Queue" = queue.Queue(maxsize=4)
+    t = threading.Thread(target=producer, args=(q,), daemon=True)
+    t0 = time.time()
+    t.start()
+    out = None
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        spec, obj, mask, arrays = item
+        out = step_fns[spec](params, obj, mask, arrays, None)
+    jax.block_until_ready(out["log_probability"])
+    dt = time.time() - t0
+    t.join()
+    return BATCH * n_stream / dt
+
+
+def main():
+    baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
+    baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)["results"]
+
+    qps_1hop = measure(hops=2)
+    qps_3hop = measure(hops=4)
+
+    base_1 = baseline["exist_1hop"]["questions_per_sec"] if baseline else None
+    base_3 = baseline["exist_3hop_relational"]["questions_per_sec"] if baseline else None
+
+    result = {
+        "metric": "GQA questions/sec/chip (exist 1-hop, batch 32, synthetic scenes)",
+        "value": round(qps_1hop, 2),
+        "unit": "questions/sec",
+        "vs_baseline": round(qps_1hop / base_1, 2) if base_1 else None,
+        "extras": {
+            "exist_3hop_relational_qps": round(qps_3hop, 2),
+            "exist_3hop_relational_vs_baseline": round(qps_3hop / base_3, 2) if base_3 else None,
+            "baseline_source": "BASELINE_MEASURED.json (reference PyTorch CPU)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Host->device transfer pipelining.
+
+The reference hides host->GPU copies behind DataLoader pin_memory +
+non_blocking .cuda() (data_pipeline.py:103-110, trainer.py:145-149). The
+TPU-native analog: issue async ``jax.device_put`` for upcoming batches on a
+background thread while the chip computes the current one, so steady-state
+throughput is max(compute, transfer) instead of their sum. Optionally casts
+the (large) object-feature tensor to bfloat16 on the host, halving transfer
+bytes; the featurizer matmul consumes bf16 natively on the MXU.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import ml_dtypes
+
+    _BF16 = ml_dtypes.bfloat16
+except ImportError:  # pragma: no cover
+    _BF16 = None
+
+
+def to_device_batch(batch, transfer_dtype: Optional[str] = None, sharding=None):
+    """LoadedBatch -> (spec, objects, obj_mask, arrays) on device."""
+    obj = batch.objects
+    if transfer_dtype == "bfloat16" and _BF16 is not None:
+        obj = obj.astype(_BF16)
+    put = (lambda x: jax.device_put(x, sharding(x))) if sharding else jax.device_put
+    objects = put(obj)
+    obj_mask = put(batch.obj_mask)
+    arrays = {k: put(v) for k, v in batch.arrays.items()}
+    return batch, objects, obj_mask, arrays
+
+
+def device_prefetch(
+    loader, size: int = 2, transfer_dtype: Optional[str] = None, sharding=None
+) -> Iterator:
+    """Wrap a BatchLoader: yields (batch, objects, obj_mask, arrays) with the
+    device transfers issued `size` batches ahead on a worker thread."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _SENTINEL = object()
+    err = []
+
+    def worker():
+        try:
+            for b in loader:
+                q.put(to_device_batch(b, transfer_dtype, sharding))
+        except BaseException as e:
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            break
+        yield item
+    t.join()
+    if err:
+        raise err[0]

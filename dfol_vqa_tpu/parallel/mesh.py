@@ -1,0 +1,116 @@
+"""Device-mesh parallelism: data + model axes under GSPMD.
+
+The reference's only strategy is single-process multi-GPU DataParallel with
+a custom whole-batch scatter (src/nsvqa/nn/interpreter/data_parallel.py:
+54-83) plus dormant multi-node plumbing that no caller enables
+(data_pipeline.py:793-801; SURVEY.md §2.3). The TPU-native replacement:
+
+  * a ``jax.sharding.Mesh`` with axes ``('data',)`` or ``('data', 'model')``;
+  * batch tensors sharded over ``data`` (one jit'd step, XLA inserts the
+    gradient psum over ICI — no NCCL/DataParallel analog needed);
+  * the wide oracle tensors sharded over ``model``: the vocabulary axis of
+    the embedding head / attribute cache and (via propagation) the
+    O x O x R relation cache — the "sequence/context parallel" analog for
+    this workload, where the O^2 pair dimension is the memory scaler
+    (SURVEY.md §5 long-context note);
+  * multi-host: `jax.distributed.initialize` + per-host dataset sharding
+    (data/dataset.py num_shards/shard_index) make the reference's dead
+    multi-node path real.
+
+Everything below uses jit + NamedSharding (GSPMD) rather than shard_map:
+the executor's masked einsums partition mechanically, and XLA chooses the
+collective schedule.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dfol_vqa_tpu.config import Config
+
+
+def make_mesh(
+    mesh_shape: Optional[Tuple[int, ...]] = None,
+    axis_names: Optional[Tuple[str, ...]] = None,
+    devices=None,
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = (n,)
+        axis_names = ("data",)
+    axis_names = axis_names or ("data", "model")[: len(mesh_shape)]
+    arr = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(arr, axis_names)
+
+
+def _has_model_axis(mesh: Mesh) -> bool:
+    return "model" in mesh.axis_names and mesh.shape["model"] > 1
+
+
+def param_sharding(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Params replicated, except the embedding head which is vocab-sharded
+    over the model axis (tensor-parallel analog for the 2,335-wide head)."""
+    repl = NamedSharding(mesh, P())
+    shardings = jax.tree_util.tree_map(lambda _: repl, params)
+    if _has_model_axis(mesh) and "embedding" in params:
+        V = params["embedding"]["b"].shape[0]
+        if V % mesh.shape["model"] == 0:  # vocab must divide the model axis
+            shardings["embedding"] = {
+                "w": NamedSharding(mesh, P(None, "model")),
+                "b": NamedSharding(mesh, P("model")),
+            }
+    return shardings
+
+
+def batch_sharding(mesh: Mesh):
+    """All batch tensors: leading (question) axis over 'data'."""
+
+    def spec(x):
+        return NamedSharding(mesh, P("data", *([None] * (np.ndim(x) - 1))))
+
+    return spec
+
+
+def shard_batch(mesh: Mesh, *trees):
+    sp = batch_sharding(mesh)
+    out = tuple(
+        jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), sp(x)), t)
+        for t in trees
+    )
+    return out if len(out) > 1 else out[0]
+
+
+def shard_params(mesh: Mesh, params):
+    sh = param_sharding(params, mesh)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, sh,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def shard_train_step(step_fn, mesh: Mesh):
+    """jit a (params, opt_state, objects, obj_mask, arrays, rng) step under
+    the mesh; GSPMD partitions compute and inserts ICI collectives."""
+    repl = NamedSharding(mesh, P())
+
+    def data_spec(x):
+        return NamedSharding(mesh, P("data", *([None] * (max(np.ndim(x), 1) - 1))))
+
+    jitted = jax.jit(
+        step_fn,
+        donate_argnums=(0, 1),
+    )
+
+    def wrapped(params, opt_state, objects, obj_mask, arrays, rng):
+        objects = jax.device_put(objects, data_spec(objects))
+        obj_mask = jax.device_put(obj_mask, data_spec(obj_mask))
+        arrays = {k: jax.device_put(v, data_spec(v)) for k, v in arrays.items()}
+        return jitted(params, opt_state, objects, obj_mask, arrays, rng)
+
+    return wrapped

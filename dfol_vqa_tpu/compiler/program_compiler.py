@@ -64,6 +64,9 @@ TERMINAL_OPS = (
     "end",
 )
 
+# direct scene-graph supervision terminals (batch_gqa_ops.py:787-902)
+SUPERVISION_OPS = ("object_attr", "object_rel", "scene")
+
 TWO_BRANCH_OPS = ("and", "or", "two_same", "two_different", "compare")
 
 YES_ANSWERS = ("yes", "yeah", "yep", "yup", "aye", "yea")  # trainer.py:188
@@ -80,6 +83,7 @@ class BucketSpec:
     rel_slots: int  # R
     object_num: int
     batch_size: int
+    n_pairs: int = 0  # listed-pair axis (scene supervision)
 
     @property
     def n_branch(self) -> int:
@@ -114,6 +118,16 @@ class CompiledBatch:
     answer_binary: np.ndarray  # (B,) 1.0 = yes
     answer_opt: np.ndarray  # (B, K) target per option
     question_mask: np.ndarray  # (B,) 0 for padding rows
+    # direct scene-graph supervision (object_attr / object_rel / scene)
+    stmt_obj: Optional[np.ndarray] = None  # (B, K) object (or subject) index
+    stmt_obj2: Optional[np.ndarray] = None  # (B, K) pair object index
+    stmt_weight: Optional[np.ndarray] = None  # (B, K) per-statement weight
+    pair_idx: Optional[np.ndarray] = None  # (B, P, 2)
+    pair_mask: Optional[np.ndarray] = None  # (B, P)
+    attr_answer: Optional[np.ndarray] = None  # (B, O, V_attr)
+    attr_weight: Optional[np.ndarray] = None  # (B, O, V_attr)
+    rel_answer: Optional[np.ndarray] = None  # (B, P, V_rel)
+    rel_weight: Optional[np.ndarray] = None  # (B, P, V_rel)
     # host metadata
     image_ids: List[str] = field(default_factory=list)
     question_ids: List[Optional[str]] = field(default_factory=list)
@@ -147,7 +161,10 @@ def _pad_ladder(n: int, ladder: Sequence[int]) -> int:
 
 
 class ProgramCompiler:
-    """Compiles batches of ∇-FOL program dicts into CompiledBatch tensors."""
+    """Compiles batches of ∇-FOL program dicts into CompiledBatch tensors.
+
+    (The supervision-terminal compilation is attached from _SupervisionMixin
+    at the bottom of this module.)"""
 
     def __init__(
         self,
@@ -230,6 +247,8 @@ class ProgramCompiler:
             assert q["program"]["last_op"]["operator"] == terminal, (
                 "batch must be terminal-homogeneous (bucketed files guarantee this)"
             )
+        if terminal in SUPERVISION_OPS:
+            return self._compile_supervision(questions, terminal, keep_original)
         n_branch = 2 if terminal in TWO_BRANCH_OPS else 1
 
         branches = [q["program"]["branches"] for q in questions]
@@ -416,6 +435,170 @@ class ProgramCompiler:
             original=questions if keep_original else None,
         )
         return spec, batch
+
+
+def _empty_batch_fields(B: int, K: int) -> dict:
+    return dict(
+        op_mask=np.zeros((B, 1, 1), np.float32),
+        arg_tok=np.zeros((B, 1, 1), np.int32),
+        arg_aux=np.zeros((B, 1, 1), np.int32),
+        arg_flag=np.zeros((B, 1, 1), np.float32),
+        rel_idx=np.zeros((B, 1, 1), np.int32),
+        rel_tokens=np.zeros((B, 1), np.int32),
+        options=np.zeros((B, K), np.int32),
+        opt_mask=np.zeros((B, K), np.float32),
+        opt_rel_idx=np.zeros((B, K), np.int32),
+        last_tok=np.zeros((B,), np.int32),
+        last_aux=np.zeros((B,), np.int32),
+        last_flag=np.zeros((B,), np.float32),
+        last_rel_idx=np.zeros((B,), np.int32),
+        answer_binary=np.zeros((B,), np.float32),
+        answer_opt=np.zeros((B, K), np.float32),
+        question_mask=np.ones((B,), np.float32),
+    )
+
+
+class _SupervisionMixin:
+    """Compilation of the direct scene-graph supervision terminals.
+
+    Data contracts follow the reference collation (data_pipeline.py:593-622,
+    batch_gqa_boxfeatures_pipeline.py:93-155):
+      object_attr: last_op arguments [per-object attr-list list]; question
+        carries 'answer' (list-of-lists of yes/no) and 'weights';
+      object_rel: arguments [relation list]; question carries 'object_pairs'
+        {'subject_id', 'object_id'}, 'answer', optional 'weights';
+      scene: question carries 'attribute_dict' {obj: [(attr, w)...]},
+        'relation_list' [(rel, w)...] and 'object_pairs'.
+    """
+
+    def _compile_supervision(self, questions: List[dict], terminal: str, keep_original: bool):
+        B = len(questions)
+        ont = self._ont
+
+        if terminal in ("object_attr", "object_rel"):
+            stmts: List[List[tuple]] = []  # (tok, obj, obj2, target, weight)
+            for q in questions:
+                rows = []
+                weights = q.get("weights")
+                if terminal == "object_attr":
+                    groups = q["program"]["last_op"]["arguments"][0]
+                    answers = q.get("answer") or []
+                    flat_ans = [a for sub in answers for a in (sub if isinstance(sub, list) else [sub])]
+                    w_i = 0
+                    for obj_i, attrs in enumerate(groups):
+                        for a in attrs:
+                            tok = ont.try_encode_token(a)
+                            tgt = 1.0 if (w_i < len(flat_ans) and str(flat_ans[w_i]).lower() in YES_ANSWERS) else 0.0
+                            w = weights[w_i] if weights and w_i < len(weights) else 1.0
+                            if tok:
+                                rows.append((tok, obj_i, 0, tgt, w))
+                            w_i += 1
+                else:
+                    rels = q["program"]["last_op"]["arguments"][0]
+                    pairs = q.get("object_pairs", {})
+                    subs = pairs.get("subject_id", [])
+                    objs = pairs.get("object_id", [])
+                    answers = q.get("answer") or []
+                    flat_ans = [a for sub in answers for a in (sub if isinstance(sub, list) else [sub])]
+                    for i, r in enumerate(rels):
+                        tok = ont.try_encode_token(r)
+                        tgt = 1.0 if (i < len(flat_ans) and str(flat_ans[i]).lower() in YES_ANSWERS) else 0.0
+                        w = weights[i] if weights and i < len(weights) else 1.0
+                        if tok and i < len(subs) and i < len(objs):
+                            rows.append((tok, subs[i], objs[i], tgt, w))
+                stmts.append(rows)
+
+            K = _pad_ladder(max((len(s) for s in stmts), default=1), self._ladder)
+            f = _empty_batch_fields(B, K)
+            stmt_obj = np.zeros((B, K), np.int32)
+            stmt_obj2 = np.zeros((B, K), np.int32)
+            stmt_weight = np.zeros((B, K), np.float32)
+            for qi, rows in enumerate(stmts):
+                for k, (tok, o1, o2, tgt, w) in enumerate(rows[:K]):
+                    f["options"][qi, k] = tok
+                    f["opt_mask"][qi, k] = 1.0
+                    f["answer_opt"][qi, k] = tgt
+                    stmt_obj[qi, k] = o1
+                    stmt_obj2[qi, k] = o2
+                    stmt_weight[qi, k] = w
+
+            spec = BucketSpec(terminal, ((OP_PAD,),), K, 1, self._object_num, B)
+            batch = CompiledBatch(
+                **f, stmt_obj=stmt_obj, stmt_obj2=stmt_obj2, stmt_weight=stmt_weight,
+                image_ids=[q.get("imageId") for q in questions],
+                question_ids=[q.get("question_id") for q in questions],
+                answers=[None] * B,
+                option_strings=[[] for _ in range(B)],
+                questions=[q.get("question") for q in questions],
+                original=questions if keep_original else None,
+            )
+            return spec, batch
+
+        # ---- scene: dense per-object attribute targets + listed-pair rels
+        Va = len(ont._attribute_index)
+        Vr = len(ont._relation_index)
+        O = self._object_num
+        pair_lists = []
+        for q in questions:
+            pairs = q.get("object_pairs", {})
+            subs, objs = pairs.get("subject_id", []), pairs.get("object_id", [])
+            pair_lists.append(list(zip(subs, objs)))
+        P = _pad_ladder(max((len(p) for p in pair_lists), default=1), self._ladder)
+
+        f = _empty_batch_fields(B, 0)
+        attr_answer = np.zeros((B, O, Va), np.float32)
+        attr_weight = np.zeros((B, O, Va), np.float32)
+        rel_answer = np.zeros((B, P, Vr), np.float32)
+        rel_weight = np.zeros((B, P, Vr), np.float32)
+        pair_idx = np.zeros((B, P, 2), np.int32)
+        pair_mask = np.zeros((B, P), np.float32)
+
+        noun_sub = list(ont._noun_subindex)
+        for qi, q in enumerate(questions):
+            # attributes (batch_gqa_boxfeatures_pipeline.py:103-130)
+            for obj_s, att_list in (q.get("attribute_dict") or {}).items():
+                obj_i = int(obj_s)
+                if obj_i >= O:
+                    continue
+                w_ind = set(noun_sub)
+                for a, w in att_list:
+                    if a in ont._arg_to_idx and a in set(ont._attributes):
+                        j = ont._attribute_reversed_index[ont._arg_to_idx[a] - 1]
+                        attr_answer[qi, obj_i, j] = 1.0
+                        attr_weight[qi, obj_i, j] = w
+                        w_ind |= set(ont.get_family_subindex(a))
+                rest = list(w_ind)
+                mask_vals = attr_weight[qi, obj_i, rest]
+                attr_weight[qi, obj_i, rest] = np.where(mask_vals == 0, 1.0, mask_vals)
+            # relations (…:132-155): weight defaults to 1 everywhere
+            for pi, (s, o) in enumerate(pair_lists[qi][:P]):
+                pair_idx[qi, pi] = (s, o)
+                pair_mask[qi, pi] = 1.0
+                rel_weight[qi, pi, :] = 1.0
+            for pi, (rel, w) in enumerate(q.get("relation_list") or []):
+                if pi >= P:
+                    break
+                if rel in ont._arg_to_idx and rel in ont._relation_set:
+                    j = ont._relation_reversed_index[ont._arg_to_idx[rel] - 1]
+                    rel_answer[qi, pi, j] = 1.0
+                    rel_weight[qi, pi, j] = w
+
+        spec = BucketSpec("scene", ((OP_PAD,),), 0, 1, O, B, n_pairs=P)
+        batch = CompiledBatch(
+            **f, pair_idx=pair_idx, pair_mask=pair_mask,
+            attr_answer=attr_answer, attr_weight=attr_weight,
+            rel_answer=rel_answer, rel_weight=rel_weight,
+            image_ids=[q.get("imageId") for q in questions],
+            question_ids=[q.get("question_id") for q in questions],
+            answers=[None] * B,
+            option_strings=[[] for _ in range(B)],
+            questions=[q.get("question") for q in questions],
+            original=questions if keep_original else None,
+        )
+        return spec, batch
+
+
+ProgramCompiler._compile_supervision = _SupervisionMixin._compile_supervision
 
 
 def transform_answer(op_name: str, answer) -> Optional[str]:

@@ -106,3 +106,67 @@ def generate_questions(
             }
         )
     return out
+
+
+def generate_supervision_questions(
+    ontology: GQAOntology,
+    n: int,
+    terminal: str,
+    n_objects: int = 6,
+    seed: int = 0,
+    image_pool: int = 64,
+) -> List[dict]:
+    """Direct scene-graph supervision questions (object_attr / object_rel /
+    scene) following the reference data contracts (data_pipeline.py:593-622,
+    batch_gqa_boxfeatures_pipeline.py:93-155)."""
+    rng = np.random.default_rng(seed)
+    adjs = [t for t in ontology._adjectives if t in ontology._arg_to_idx]
+    rels = [t for t in ontology._relations if t in ontology._arg_to_idx]
+    out = []
+    for i in range(n):
+        base = {
+            "imageId": f"synth_{int(rng.integers(0, image_pool))}",
+            "question_id": f"sv{i}",
+        }
+        if terminal == "object_attr":
+            groups, answers, weights = [], [], []
+            for obj_i in range(int(rng.integers(1, n_objects))):
+                attrs = [str(rng.choice(adjs)) for _ in range(int(rng.integers(1, 3)))]
+                groups.append(attrs)
+                answers.append([str(rng.choice(["yes", "no"])) for _ in attrs])
+                weights.extend([float(rng.uniform(0.5, 1.0)) for _ in attrs])
+            base["program"] = {"branches": [],
+                               "last_op": {"operator": "object_attr", "arguments": [groups]}}
+            base["answer"] = answers
+            base["weights"] = weights
+        elif terminal == "object_rel":
+            k = int(rng.integers(1, 5))
+            base["program"] = {
+                "branches": [],
+                "last_op": {"operator": "object_rel",
+                            "arguments": [[str(rng.choice(rels)) for _ in range(k)]]},
+            }
+            base["object_pairs"] = {
+                "subject_id": [int(rng.integers(0, n_objects)) for _ in range(k)],
+                "object_id": [int(rng.integers(0, n_objects)) for _ in range(k)],
+            }
+            base["answer"] = [str(rng.choice(["yes", "no"])) for _ in range(k)]
+        elif terminal == "scene":
+            base["program"] = {"branches": [],
+                               "last_op": {"operator": "scene", "arguments": []}}
+            base["attribute_dict"] = {
+                str(obj_i): [(str(rng.choice(adjs)), float(rng.uniform(0.5, 1.0)))]
+                for obj_i in range(int(rng.integers(1, n_objects)))
+            }
+            k = int(rng.integers(1, 5))
+            base["object_pairs"] = {
+                "subject_id": [int(rng.integers(0, n_objects)) for _ in range(k)],
+                "object_id": [int(rng.integers(0, n_objects)) for _ in range(k)],
+            }
+            base["relation_list"] = [
+                (str(rng.choice(rels)), float(rng.uniform(0.5, 1.0))) for _ in range(k)
+            ]
+        else:
+            raise ValueError(terminal)
+        out.append(base)
+    return out

@@ -110,14 +110,15 @@ def _log_probability(att, quant, obj_mask, hard: bool):
     return vs.log_probability(hard_mode=hard)
 
 
-def _relate_core(subj, obj, ll, obj_mask):
+def _relate_core(subj, obj, ll, obj_mask, gates=None):
     """EXISTS-quantified arity-2 update (both chains are EXISTS sets in GQA
     programs; batch_gqa_ops.py:364-371)."""
     from dfol_vqa_tpu.ops.cells import relate_update
 
     shape = subj.shape[:-1]
     ones = jnp.ones(shape, subj.dtype)
-    return relate_update(subj, obj, ll, ones, ones, obj_mask)
+    rel_gates = (gates["relate0"], gates["relate1"]) if gates else None
+    return relate_update(subj, obj, ll, ones, ones, obj_mask, gates=rel_gates)
 
 
 def _modulate(att: jnp.ndarray, mods: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -149,6 +150,18 @@ class Interpreter:
         self._emb_matrix = None
 
     @property
+    def _attr_index_arr(self):
+        if getattr(self, "_attr_idx_cache", None) is None:
+            self._attr_idx_cache = jnp.asarray(np.asarray(self.ont._attribute_index, np.int32))
+        return self._attr_idx_cache
+
+    @property
+    def _rel_index_arr(self):
+        if getattr(self, "_rel_idx_cache", None) is None:
+            self._rel_idx_cache = jnp.asarray(np.asarray(self.ont._relation_index, np.int32))
+        return self._rel_idx_cache
+
+    @property
     def embedding_matrix(self):
         """Whole-vocabulary GloVe matrix (V+1, D) as a device array; used by
         the calibrator features (replaces per-batch meta_data['embedding'])."""
@@ -163,6 +176,16 @@ class Interpreter:
 
     def init_params(self, key) -> Dict[str, Any]:
         params = om.init_oracle_params(key, self.cfg, self.ont)
+        if self.cfg.trainable_gate:
+            from dfol_vqa_tpu.nn import linear_init
+
+            k = jax.random.fold_in(key, 11)
+            ks = jax.random.split(k, 3)
+            params["logic_gates"] = {
+                "filter": linear_init(ks[0], 2, 6),
+                "relate0": linear_init(ks[1], 2, 6),
+                "relate1": linear_init(ks[2], 2, 6),
+            }
         if self.cfg.activate_attention_transfer:
             from dfol_vqa_tpu.models.calibrator import init_calibrator_params
 
@@ -227,6 +250,7 @@ class Interpreter:
         grid: Tuple[int, ...],
         slot_mods: Optional[list] = None,
         collect_trace: bool = False,
+        gates=None,
     ):
         """Execute one branch's slot sequence; returns final (B, O) attention.
 
@@ -243,9 +267,11 @@ class Interpreter:
             m = arrays["op_mask"][:, branch, si]  # (B,)
             tok = arrays["arg_tok"][:, branch, si]
             if opc in (OP_SELECT, OP_FILTER):
+                from dfol_vqa_tpu.ops.cells import filter_update
+
                 ll = _gather_attr(world.attr_ll, tok)
                 upd = jnp.where(tok != 0, 1.0, 0.0) * m
-                new = att + ll
+                new = filter_update(att, ll, gates["filter"] if gates else None)
                 if mods is not None:
                     new = _modulate(new, mods.get("filter"))
             else:  # OP_RELATE: select new set (+filter), relate, keep new side
@@ -260,7 +286,7 @@ class Interpreter:
                 subj = s * x + (1.0 - s) * att
                 obj = s * att + (1.0 - s) * x
                 ll_rel = _gather_rel(world.rel_ll, arrays["rel_idx"][:, branch, si], tok)
-                subj2, obj2 = _relate_core(subj, obj, ll_rel, world.obj_mask)
+                subj2, obj2 = _relate_core(subj, obj, ll_rel, world.obj_mask, gates)
                 if mods is not None:
                     subj2 = _modulate(subj2, mods.get("subject"))
                     obj2 = _modulate(obj2, mods.get("object"))
@@ -275,21 +301,25 @@ class Interpreter:
 
     # ------------------------------------------------------------- terminals
 
-    def _filter_fanout(self, world, att, options, opt_mask, normalize: bool, mods=None):
+    def _filter_fanout(self, world, att, options, opt_mask, normalize: bool, mods=None,
+                       gates=None):
         """Fan-out filter over a (B, K) option axis (FilterBatch with a
         predicate_question_map, batch_base_ops.py:311-405)."""
         from dfol_vqa_tpu.ops.cells import normalize_over_options
 
+        from dfol_vqa_tpu.ops.cells import filter_update
+
         ll = _gather_attr_options(world.attr_ll, options)  # (B, K, O)
         ll = normalize_over_options(ll, opt_mask, enabled=normalize and self.cfg.normalize_oracle)
         ll = _apply_option_negation(ll, options)
-        out = att[:, None, :] + ll  # (B, K, O)
+        out = filter_update(att[:, None, :], ll, gates["filter"] if gates else None)
         if mods is not None:
             out = _modulate(out, mods)
         return out
 
     def _terminal(
-        self, world: World, arrays, spec: BucketSpec, atts, hard: bool, tmods=None
+        self, world: World, arrays, spec: BucketSpec, atts, hard: bool, tmods=None,
+        gates=None, params=None,
     ):
         """Compute the terminal op's log probability.
 
@@ -312,7 +342,7 @@ class Interpreter:
             att = atts[0]
             att_k = self._filter_fanout(
                 world, att, options, opt_mask, normalize=False,
-                mods=tmods.get("fanout") if tmods else None,
+                mods=tmods.get("fanout") if tmods else None, gates=gates,
             )
             combined = jnp.sum(att_k * opt_mask[:, :, None], axis=1)
             return _log_probability(combined, ones(combined), mask, hard)
@@ -321,7 +351,7 @@ class Interpreter:
             att = atts[0]
             att_k = self._filter_fanout(
                 world, att, options, opt_mask, normalize=True,
-                mods=tmods.get("fanout") if tmods else None,
+                mods=tmods.get("fanout") if tmods else None, gates=gates,
             )
             quant = jnp.ones(att_k.shape[:2], att_k.dtype)
             return _log_probability(att_k, quant, mask, hard)
@@ -346,6 +376,7 @@ class Interpreter:
                 obj[:, None, :].repeat(spec.n_options, 1),
                 ll,
                 mask,
+                gates,
             )
             if tmods:
                 subj2 = _modulate(subj2, tmods.get("subject"))
@@ -365,7 +396,7 @@ class Interpreter:
             subj = s * x + (1.0 - s) * att
             obj = s * att + (1.0 - s) * x
             ll = _gather_rel(world.rel_ll, arrays["last_rel_idx"], arrays["last_tok"])
-            subj2, obj2 = _relate_core(subj, obj, ll, mask)
+            subj2, obj2 = _relate_core(subj, obj, ll, mask, gates)
             if tmods:
                 subj2 = _modulate(subj2, tmods.get("subject"))
                 obj2 = _modulate(obj2, tmods.get("object"))
@@ -384,7 +415,7 @@ class Interpreter:
             att = atts[0]
             att_k = self._filter_fanout(
                 world, att, options, opt_mask, normalize=True,
-                mods=tmods.get("fanout") if tmods else None,
+                mods=tmods.get("fanout") if tmods else None, gates=gates,
             )
             log_post = logic.log_not(logic.log_and(att[:, None, :], logic.log_not(att_k)))
             quant = jnp.zeros(log_post.shape[:2], log_post.dtype)  # FOR_ALL
@@ -397,11 +428,11 @@ class Interpreter:
         if term in ("two_same", "two_different"):
             att_k1 = self._filter_fanout(
                 world, atts[0], options, opt_mask, normalize=True,
-                mods=tmods.get("fanout0") if tmods else None,
+                mods=tmods.get("fanout0") if tmods else None, gates=gates,
             )
             att_k2 = self._filter_fanout(
                 world, atts[1], options, opt_mask, normalize=True,
-                mods=tmods.get("fanout1") if tmods else None,
+                mods=tmods.get("fanout1") if tmods else None, gates=gates,
             )
             quant = jnp.ones(att_k1.shape[:2], att_k1.dtype)
             lp_k = logic.log_and(
@@ -416,8 +447,11 @@ class Interpreter:
         if term == "compare":
             # two branches filtered by the same attribute, log-softmax,
             # is_less flip (batch_gqa_ops.py:730-758)
+            from dfol_vqa_tpu.ops.cells import filter_update
+
             ll = _gather_attr(world.attr_ll, arrays["last_tok"])
-            a1, a2 = atts[0] + ll, atts[1] + ll
+            g = gates["filter"] if gates else None
+            a1, a2 = filter_update(atts[0], ll, g), filter_update(atts[1], ll, g)
             if tmods:
                 a1 = _modulate(a1, tmods.get("branch0"))
                 a2 = _modulate(a2, tmods.get("branch1"))
@@ -426,6 +460,47 @@ class Interpreter:
             lp = jax.nn.log_softmax(jnp.stack([lp1, lp2], axis=1), axis=1)
             alpha = arrays["last_flag"][:, None]
             return logic.log_parametric_not(lp, alpha, 1.0)
+
+        if term == "object_attr":
+            # per-object attribute statements (GQAObjectAttrBatch,
+            # batch_gqa_ops.py:795-830): fresh entity set filtered per
+            # statement, probability read at the statement's object index
+            from dfol_vqa_tpu.ops.cells import filter_update, normalize_over_options
+
+            ll = _gather_attr_options(world.attr_ll, options)  # (B, K, O)
+            ll = normalize_over_options(ll, opt_mask, enabled=cfg.normalize_oracle)
+            ll = _apply_option_negation(ll, options)
+            att_k = filter_update(jnp.zeros_like(ll), ll,
+                                  gates["filter"] if gates else None)
+            lp = jnp.take_along_axis(att_k, arrays["stmt_obj"][:, :, None], axis=2)[..., 0]
+            return lp
+
+        if term == "object_rel":
+            # listed-pair relation statements (GQAObjectRelBatch,
+            # batch_gqa_ops.py:851-870): FOR_ALL sets collapse to the pair's
+            # relation score modulo the reference's exp/log saturation
+            from dfol_vqa_tpu.models.oracle import rel_scores_for_pairs
+
+            pair = jnp.stack([arrays["stmt_obj"], arrays["stmt_obj2"]], axis=-1)
+            scores = rel_scores_for_pairs(params, world.attr_in, world.pos, pair, cfg)
+            tok0 = jnp.clip(jnp.abs(options) - 1, 0)
+            lp = jnp.take_along_axis(scores, tok0[:, :, None], axis=2)[..., 0]
+            lp = _apply_option_negation(lp, options)
+            # FOR_ALL aggregation roundtrips (lpn(x, 0) twice)
+            lp = logic.log_parametric_not(logic.log_parametric_not(lp, 0.0, 1.0), 0.0, 1.0)
+            return lp
+
+        if term == "scene":
+            # full scene-graph supervision (GQASceneOpBatch,
+            # batch_gqa_ops.py:888-899 / compute_all_log_likelihood)
+            from dfol_vqa_tpu.models.oracle import rel_scores_for_pairs
+
+            attr_lp = jnp.take(world.attr_ll, self._attr_index_arr + 1, axis=2)
+            rel_lp = rel_scores_for_pairs(
+                params, world.attr_in, world.pos, arrays["pair_idx"], cfg,
+                rel_cols=self._rel_index_arr,
+            )
+            return {"attr": attr_lp, "rel": rel_lp}
 
         raise NotImplementedError(term)
 
@@ -440,6 +515,39 @@ class Interpreter:
         when cfg.first_answer (trainer.py:284-285)."""
         cfg = self.cfg
         out: Dict[str, jnp.ndarray] = {"log_probability": lp}
+        if qtype == QuestionType.OBJECT_STATEMENT:
+            # weighted statement accuracy (trainer.py:277-299); the per-batch
+            # weighted average is broadcast per question so the trainer's
+            # error accounting matches the reference aggregate
+            w = arrays["stmt_weight"] * arrays["opt_mask"] * arrays["question_mask"][:, None]
+            pred = jnp.exp(lp) > 0.5
+            tgt = arrays["answer_opt"] > 0.5
+            match = (pred == tgt).astype(jnp.float32)
+            avg = jnp.sum(match * w) / jnp.maximum(jnp.sum(w), 1e-6)
+            out["answer_flags"] = pred
+            out["match"] = jnp.broadcast_to(avg, lp.shape[:1])
+            return out
+        if qtype == QuestionType.SCENE_GRAPH:
+            # trainer.py:265-275, with the prob>0.5 threshold applied in
+            # probability space (the reference thresholds the LOG value at
+            # 0.5, which is never true; we use the evidently intended rule)
+            qm = arrays["question_mask"]
+            obj_m = arrays.get("__obj_mask__")
+            a_lp, r_lp = lp["attr"], lp["rel"]
+            a_ans = (jnp.exp(a_lp) > 0.5).astype(jnp.float32)
+            r_ans = (jnp.exp(r_lp) > 0.5).astype(jnp.float32)
+            a_t, a_w = arrays["attr_answer"], arrays["attr_weight"]
+            r_t = arrays["rel_answer"]
+            r_w = arrays["rel_weight"] * arrays["pair_mask"][:, :, None]
+            a_w = a_w * (a_t + a_ans > 0) * qm[:, None, None]
+            if obj_m is not None:
+                a_w = a_w * obj_m[:, :, None]
+            r_w = r_w * (r_t + r_ans > 0) * qm[:, None, None]
+            nom = jnp.sum((a_t != a_ans) * a_w) + jnp.sum((r_t != r_ans) * r_w)
+            denom = jnp.maximum(jnp.sum(a_w) + jnp.sum(r_w), 1e-6)
+            out["answer_flags"] = jnp.zeros((qm.shape[0], 1), bool)
+            out["match"] = jnp.broadcast_to(1.0 - nom / denom, qm.shape)
+            return out
         if qtype == QuestionType.QUERY and spec.terminal_op != "compare":
             opt_mask = arrays["opt_mask"]
             temp = jnp.exp(lp) * opt_mask
@@ -489,6 +597,31 @@ class Interpreter:
             target = arrays["answer_opt"]
             denom = logic.masked_logsumexp(lp, opt_mask, axis=1)
             loss = jnp.sum((denom - jnp.sum(target * lp * opt_mask, axis=1)) * qmask)
+        elif qtype == QuestionType.OBJECT_STATEMENT:
+            # weighted BCE over statements (trainer.py:196-205)
+            p = jnp.exp(lp)
+            t = arrays["answer_opt"]
+            w = arrays["stmt_weight"] * arrays["opt_mask"] * qmask[:, None]
+            lg = jnp.maximum(jnp.log(jnp.clip(p, 1e-45)), -100.0)
+            lg1 = jnp.maximum(jnp.log(jnp.clip(1.0 - p, 1e-45)), -100.0)
+            loss = -jnp.sum(w * (t * lg + (1.0 - t) * lg1))
+        elif qtype == QuestionType.SCENE_GRAPH:
+            # weighted BCE over the full attr matrix + listed-pair relations
+            # (trainer.py:235-256)
+            def bce(lp_x, t, w):
+                p = jnp.exp(lp_x)
+                lg = jnp.maximum(jnp.log(jnp.clip(p, 1e-45)), -100.0)
+                lg1 = jnp.maximum(jnp.log(jnp.clip(1.0 - p, 1e-45)), -100.0)
+                return -jnp.sum(w * (t * lg + (1.0 - t) * lg1))
+
+            a_w = arrays["attr_weight"] * qmask[:, None, None]
+            obj_m = arrays.get("__obj_mask__")
+            if obj_m is not None:
+                a_w = a_w * obj_m[:, :, None]
+            r_w = arrays["rel_weight"] * arrays["pair_mask"][:, :, None] * qmask[:, None, None]
+            loss = bce(lp["attr"], arrays["attr_answer"], a_w) + bce(
+                lp["rel"], arrays["rel_answer"], r_w
+            )
         else:
             raise NotImplementedError(qtype)
         if self.cfg.l1_lambda > 0:
@@ -558,20 +691,28 @@ class Interpreter:
                 params["calibrator"], self, world, arrays, spec
             )
 
+        gates = None
+        if cfg.trainable_gate and params is not None and "logic_gates" in params:
+            gates = params["logic_gates"]
+
         atts = []
         traces = []
         for b, grid in enumerate(spec.grid):
             mods_b = modulations["slots"][b] if modulations is not None else None
             if return_trace:
-                att, tr = self._run_branch(world, arrays, b, grid, mods_b, collect_trace=True)
+                att, tr = self._run_branch(
+                    world, arrays, b, grid, mods_b, collect_trace=True, gates=gates
+                )
                 traces.append(tr)
             else:
-                att = self._run_branch(world, arrays, b, grid, mods_b)
+                att = self._run_branch(world, arrays, b, grid, mods_b, gates=gates)
             atts.append(att)
 
         hard = (not is_training) and cfg.hard_mode
         tmods = modulations["terminal"] if modulations is not None else None
-        lp = self._terminal(world, arrays, spec, atts, hard, tmods)
+        arrays = dict(arrays)
+        arrays["__obj_mask__"] = world.obj_mask  # for scene-graph masking
+        lp = self._terminal(world, arrays, spec, atts, hard, tmods, gates, params)
         out = self._answers_and_metrics(lp, arrays, spec, qtype)
         out["loss"] = self._loss(lp, arrays, spec, qtype, params)
         out["type"] = jnp.asarray(int(qtype))

@@ -252,6 +252,60 @@ def rel_cache(
     return jnp.where(pad_slot, default_ll, ll)
 
 
+def rel_scores_for_pairs(
+    params,
+    attr_in: jnp.ndarray,
+    pos: jnp.ndarray,
+    pair_idx: jnp.ndarray,
+    cfg: Config,
+    rel_cols: Optional[jnp.ndarray] = None,
+    rng=None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Score LISTED object pairs against relation vocabulary columns.
+
+    Direct-supervision relation path (classifier_oracle.py:104-112 with
+    meta_data['relation_pairobject_map']): instead of the O x O grid, only
+    ``pair_idx (B, P, 2)`` = (subject, object) indices are featurized.
+
+    Returns (B, P, |rel_cols|); rel_cols defaults to all relation-vocabulary
+    columns (0-based token indices)."""
+    rp = params["relation_network"]
+    emb_w = params["embedding"]["w"]
+    emb_b = params["embedding"]["b"]
+    B, P, _ = pair_idx.shape
+
+    # gather subject/object rows: (B, P, D)
+    f_s = jnp.take_along_axis(attr_in, pair_idx[..., 0][..., None], axis=1)
+    f_o = jnp.take_along_axis(attr_in, pair_idx[..., 1][..., None], axis=1)
+    p_s = jnp.take_along_axis(pos, pair_idx[..., 0][..., None], axis=1)
+    p_o = jnp.take_along_axis(pos, pair_idx[..., 1][..., None], axis=1)
+
+    x, y, w, h = (p_s[..., 0], p_s[..., 1], p_s[..., 2], p_s[..., 3])
+    x2, y2, w2, h2 = (p_o[..., 0], p_o[..., 1], p_o[..., 2], p_o[..., 3])
+    dx = (x + w / 2.0) - (x2 + w2 / 2.0)
+    dy = (y + h / 2.0) - (y2 + h2 / 2.0)
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    angle = jnp.arcsin(dy / jnp.clip(dist, min=1e-10))
+    h_side = jnp.sign(x2 - x)
+    v_side = jnp.sign(y2 - y)
+    geom = jnp.stack([dist, angle, h_side, v_side], axis=-1)
+
+    pair_feat = jnp.concatenate([f_s, f_o, geom], axis=-1)  # (B, P, 1036)
+    hmid = nn.mlp_apply(
+        rp, pair_feat, final="sigmoid", dropout_rate=cfg.dropout, rng=rng,
+        deterministic=deterministic,
+    )
+    if rel_cols is None:
+        logits = jnp.dot(hmid, emb_w, preferred_element_type=jnp.float32) + emb_b
+    else:
+        w_sel = jnp.take(emb_w, rel_cols, axis=1)
+        logits = jnp.dot(hmid, w_sel, preferred_element_type=jnp.float32) + jnp.take(
+            emb_b, rel_cols, axis=0
+        )
+    return jax.nn.log_sigmoid(logits)
+
+
 # -------------------------------------------------------- full caches (scene)
 
 

@@ -31,9 +31,33 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from dfol_vqa_tpu import logic
+
+
+def neural_logic_gate(gate_params, log_p: jnp.ndarray, log_q: jnp.ndarray) -> jnp.ndarray:
+    """Trainable soft logic gate (NeuralLogicGate, batch_base_ops.py:19-38).
+
+    A 6-parameter composition of log_parametric_not transforms with
+    data-dependent alphas/betas from a Linear(2, 6) + sigmoid:
+        res = lpn( lpn(p, a0, a3) + lpn(q, a1, a4), a2, a5 ).
+    Enabled by the ``trainable_gate`` config (off in all shipped reference
+    configs; CONFIG_YAML.md marks it N/A). Unlike the reference — which
+    instantiates a separate gate per op module — gates here are shared per
+    combine-site kind (filter / relate-partner / relate-self), which is the
+    parameter-tying one actually wants when the flag is on.
+    """
+    lp = jnp.broadcast_to(log_p, jnp.broadcast_shapes(log_p.shape, log_q.shape))
+    lq = jnp.broadcast_to(log_q, lp.shape)
+    x = jnp.stack([lp, lq], axis=-1)
+    alpha = jax.nn.sigmoid(
+        jnp.einsum("...i,ij->...j", x, gate_params["w"]) + gate_params["b"]
+    )
+    nlp = logic.log_parametric_not(lp, alpha[..., 0], alpha[..., 3])
+    nlq = logic.log_parametric_not(lq, alpha[..., 1], alpha[..., 4])
+    return logic.log_parametric_not(nlp + nlq, alpha[..., 2], alpha[..., 5])
 
 
 def apply_negation(ll: jnp.ndarray, negated: jnp.ndarray) -> jnp.ndarray:
@@ -44,12 +68,15 @@ def apply_negation(ll: jnp.ndarray, negated: jnp.ndarray) -> jnp.ndarray:
     return logic.log_parametric_not(ll, negated, 1.0)
 
 
-def filter_update(log_attention: jnp.ndarray, ll: jnp.ndarray) -> jnp.ndarray:
+def filter_update(log_attention: jnp.ndarray, ll: jnp.ndarray, gate=None) -> jnp.ndarray:
     """Arity-1 Bayesian update: posterior = prior + likelihood.
 
     The reference arity-1 `_forward_core` reduces to exactly this addition
     (loop body at batch_base_ops.py:90-149 with arity=1 skips the partner
-    marginalisation)."""
+    marginalisation). With ``trainable_gate``, the addition is replaced by
+    the neural logic gate (batch_base_ops.py:135-138)."""
+    if gate is not None:
+        return neural_logic_gate(gate, ll, log_attention)
     return log_attention + ll
 
 
@@ -60,6 +87,7 @@ def relate_update(
     q_subj: jnp.ndarray,
     q_obj: jnp.ndarray,
     obj_mask: jnp.ndarray,
+    gates=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Arity-2 Bayesian update over a dense (.., O, O) relation likelihood.
 
@@ -85,19 +113,30 @@ def relate_update(
 
     qo = q_obj[..., None, None]  # broadcast over (i, j)
     qs = q_subj[..., None, None]
+    g_subj = gates[0] if gates is not None else None  # dim-0 (subject) gate
+    g_obj = gates[1] if gates is not None else None  # dim-1 (object) gate
+
+    def combine(acc, prior, gate):
+        if gate is not None:
+            return neural_logic_gate(gate, acc, prior)
+        return acc + prior
 
     # Subject update: marginalise the object partner (j axis, last).
-    term = logic.log_parametric_not(ll + obj_att[..., None, :], qo, 1.0)
+    term = logic.log_parametric_not(combine(ll, obj_att[..., None, :], g_obj), qo, 1.0)
     term = term * not_diag * mask_j
-    subj_new = subj_att + logic.log_parametric_not(
-        jnp.sum(term, axis=-1), q_obj[..., None], 1.0
+    subj_new = combine(
+        logic.log_parametric_not(jnp.sum(term, axis=-1), q_obj[..., None], 1.0),
+        subj_att,
+        g_subj,
     )
 
     # Object update: marginalise the subject partner (i axis, second-to-last).
-    term = logic.log_parametric_not(ll + subj_att[..., :, None], qs, 1.0)
+    term = logic.log_parametric_not(combine(ll, subj_att[..., :, None], g_subj), qs, 1.0)
     term = term * not_diag * mask_i
-    obj_new = obj_att + logic.log_parametric_not(
-        jnp.sum(term, axis=-2), q_subj[..., None], 1.0
+    obj_new = combine(
+        logic.log_parametric_not(jnp.sum(term, axis=-2), q_subj[..., None], 1.0),
+        obj_att,
+        g_obj,
     )
 
     return subj_new, obj_new

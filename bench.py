@@ -59,7 +59,9 @@ def build_batches(hops: int, seed: int = 0):
                 ops.append({"operator": "filter", "arguments": [str(rng.choice(adjs))]})
         return {
             "program": {"branches": [ops], "last_op": {"operator": "exist", "arguments": []}},
-            "answer": "yes", "imageId": f"img{i}", "question_id": f"q{i}",
+            # GQA balanced-val averages ~10 questions per image; scenes are
+            # deduplicated per unique image by the loader
+            "answer": "yes", "imageId": f"img{i // 10}", "question_id": f"q{i}",
         }
 
     qs = [program(i) for i in range(BATCH * N_DISTINCT)]

@@ -35,6 +35,36 @@ class FeatureSource:
     def image(self, image_id: str) -> Tuple[np.ndarray, int]:
         raise NotImplementedError
 
+    def batch_unique(
+        self, image_ids: List[str], O: int, pad_ladder=(4, 8, 16, 32, 64, 128, 256, 512, 1024)
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Deduplicated scene batch: (uniq (U_pad, O, D+6), uniq_mask
+        (U_pad, O), img_index (B,)).
+
+        GQA averages ~10 questions per image, so loading each unique image
+        once cuts both host->device bytes and per-object oracle FLOPs. U is
+        padded up a ladder to bound jit signatures."""
+        uniq: dict = {}
+        idx = np.zeros(len(image_ids), np.int32)
+        for i, im in enumerate(image_ids):
+            if im not in uniq:
+                uniq[im] = len(uniq)
+            idx[i] = uniq[im]
+        U = len(uniq)
+        U_pad = U
+        for v in pad_ladder:
+            if U <= v:
+                U_pad = v
+                break
+        objs = np.zeros((U_pad, O, self.box_dim + 6), np.float32)
+        mask = np.zeros((U_pad, O), np.float32)
+        for im, u in uniq.items():
+            row, n = self.image(im)
+            n = min(n, O)
+            objs[u, :n] = row[:n]
+            mask[u, :n] = 1.0
+        return objs, mask, idx
+
 
 class GQAHdf5Features(FeatureSource):
     """Reads the official GQA objects HDF5 chunk files

@@ -27,12 +27,15 @@ from dfol_vqa_tpu.data.features import FeatureSource
 class LoadedBatch:
     __slots__ = ("spec", "compiled", "objects", "obj_mask", "arrays")
 
-    def __init__(self, spec: BucketSpec, compiled: CompiledBatch, objects, obj_mask):
+    def __init__(self, spec: BucketSpec, compiled: CompiledBatch, objects, obj_mask,
+                 img_index=None):
         self.spec = spec
         self.compiled = compiled
-        self.objects = objects
-        self.obj_mask = obj_mask
+        self.objects = objects  # (U_pad, O, D+6) unique-image scenes
+        self.obj_mask = obj_mask  # (U_pad, O)
         self.arrays = batch_arrays(compiled)
+        if img_index is not None:
+            self.arrays["img_index"] = img_index
 
     @property
     def batch_size(self) -> int:
@@ -85,8 +88,8 @@ class BatchLoader:
             spec, cb = self._compiler.compile(questions, keep_original=self._keep_original)
             if n_pad:
                 cb.question_mask[-n_pad:] = 0.0
-            objects, obj_mask = self._features.batch(cb.image_ids, self._O)
-            yield LoadedBatch(spec, cb, objects, obj_mask)
+            objects, obj_mask, img_index = self._features.batch_unique(cb.image_ids, self._O)
+            yield LoadedBatch(spec, cb, objects, obj_mask, img_index)
 
     def __iter__(self) -> Iterator[LoadedBatch]:
         self._epoch += 1

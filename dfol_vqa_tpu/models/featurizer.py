@@ -62,7 +62,10 @@ def pair_geometry(pos: jnp.ndarray) -> jnp.ndarray:
     dx = cx[..., :, None] - cx[..., None, :]
     dy = cy[..., :, None] - cy[..., None, :]
     dist = jnp.sqrt(dx * dx + dy * dy)
-    angle = jnp.arcsin(dy / jnp.clip(dist, min=1e-10))
+    # ratio clamped to [-1, 1]: fp32 rounding can make |dy|/dist marginally
+    # exceed 1 when dx ~ 0, which would NaN the asin (a hazard the reference
+    # shares; the clamp only changes those pathological pairs)
+    angle = jnp.arcsin(jnp.clip(dy / jnp.clip(dist, min=1e-10), -1.0, 1.0))
     h_side = jnp.sign(x[..., None, :] - x[..., :, None])
     v_side = jnp.sign(y[..., None, :] - y[..., :, None])
     return jnp.stack([dist, angle, h_side, v_side], axis=-1)

@@ -68,20 +68,24 @@ def spec_needs_relations(spec: BucketSpec) -> bool:
 # ------------------------------------------------------------------- gathers
 
 
-def _gather_attr(attr_ll: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
-    """attr_ll (B, O, V+1), tok (B,) signed -> (B, O) with negation applied.
-
-    Negation = log_parametric_not(ll, 1, 1) as in batch_base_ops.py:212-213."""
-    idx = jnp.abs(tok)
-    ll = jnp.take_along_axis(attr_ll, idx[:, None, None], axis=2)[..., 0]
+def _gather_attr(world: World, tok: jnp.ndarray) -> jnp.ndarray:
+    """attr_ll (U, O, V+1) + img_index, tok (B,) signed -> (B, O), negation
+    applied (batch_base_ops.py:212-213). One fused gather — the per-unique
+    attribute cache is addressed by (image row, object, |token| column)."""
+    O = world.attr_ll.shape[1]
+    o_iota = jnp.arange(O, dtype=jnp.int32)
+    ll = world.attr_ll[world.img_index[:, None], o_iota[None, :], jnp.abs(tok)[:, None]]
     return jnp.where((tok < 0)[:, None], logic.log_parametric_not(ll, 1.0, 1.0), ll)
 
 
-def _gather_attr_options(attr_ll: jnp.ndarray, toks: jnp.ndarray) -> jnp.ndarray:
-    """attr_ll (B, O, V+1), toks (B, K) signed -> (B, K, O) raw (sign NOT applied)."""
-    idx = jnp.abs(toks)  # (B, K)
-    ll = jnp.take_along_axis(attr_ll, idx[:, None, :], axis=2)  # (B, O, K)
-    return jnp.moveaxis(ll, 2, 1)
+def _gather_attr_options(world: World, toks: jnp.ndarray) -> jnp.ndarray:
+    """attr_ll (U, O, V+1) + img_index, toks (B, K) signed -> (B, K, O) raw
+    (sign NOT applied)."""
+    O = world.attr_ll.shape[1]
+    o_iota = jnp.arange(O, dtype=jnp.int32)
+    return world.attr_ll[
+        world.img_index[:, None, None], o_iota[None, None, :], jnp.abs(toks)[:, :, None]
+    ]
 
 
 def _apply_option_negation(ll: jnp.ndarray, toks: jnp.ndarray) -> jnp.ndarray:
@@ -205,19 +209,34 @@ class Interpreter:
         rng=None,
         deterministic: bool = True,
         needs_rel: bool = True,
+        img_index: Optional[jnp.ndarray] = None,
     ) -> World:
-        """build_scene analog (batch_base_interpreter.py:45-70) in cached mode."""
+        """build_scene analog (batch_base_interpreter.py:45-70) in cached mode.
+
+        ``objects``/``obj_mask`` may be per UNIQUE image (U rows) with
+        ``img_index (B,)`` mapping questions to rows; the featurizer and the
+        wide attribute head then run once per image."""
         cfg = self.cfg
         r_feat, r_attr, r_rel = (
             jax.random.split(rng, 3) if rng is not None else (None, None, None)
         )
-        attr_in, pos = featurize_objects(
+        attr_in_u, pos_u = featurize_objects(
             params["featurizer"], objects, cfg, r_feat, deterministic
         )
-        attr_ll = om.attr_cache(params, attr_in, cfg, r_attr, deterministic)
+        attr_ll = om.attr_cache(params, attr_in_u, cfg, r_attr, deterministic)
+        if img_index is None:
+            img_index = jnp.arange(obj_mask.shape[0], dtype=jnp.int32)
+            attr_in, pos, q_mask = attr_in_u, pos_u, obj_mask
+        else:
+            attr_in = jnp.take(attr_in_u, img_index, axis=0)
+            pos = jnp.take(pos_u, img_index, axis=0)
+            q_mask = jnp.take(obj_mask, img_index, axis=0)
+        obj_mask = q_mask
         B, O = obj_mask.shape
         if needs_rel and rel_tokens is not None:
-            if cfg.tpu.use_pallas:
+            # Pallas kernel serves the inference path; training keeps the XLA
+            # formulation (autodiff) until the kernel grows a custom VJP.
+            if cfg.tpu.use_pallas and deterministic:
                 from dfol_vqa_tpu.ops.pallas.relation_oracle import rel_cache_pallas
 
                 rel_ll = rel_cache_pallas(
@@ -238,6 +257,7 @@ class Interpreter:
             rel_tokens=rel_tokens,
             attr_in=attr_in,
             pos=pos,
+            img_index=img_index,
         )
 
     # -------------------------------------------------------- branch executor
@@ -269,7 +289,7 @@ class Interpreter:
             if opc in (OP_SELECT, OP_FILTER):
                 from dfol_vqa_tpu.ops.cells import filter_update
 
-                ll = _gather_attr(world.attr_ll, tok)
+                ll = _gather_attr(world, tok)
                 upd = jnp.where(tok != 0, 1.0, 0.0) * m
                 new = filter_update(att, ll, gates["filter"] if gates else None)
                 if mods is not None:
@@ -277,7 +297,7 @@ class Interpreter:
             else:  # OP_RELATE: select new set (+filter), relate, keep new side
                 aux = arrays["arg_aux"][:, branch, si]
                 s = arrays["arg_flag"][:, branch, si][:, None]
-                ll_aux = _gather_attr(world.attr_ll, aux)
+                ll_aux = _gather_attr(world, aux)
                 x = jnp.where((aux != 0)[:, None], ll_aux, 0.0)
                 if mods is not None and mods.get("select") is not None:
                     x = jnp.where(
@@ -309,7 +329,7 @@ class Interpreter:
 
         from dfol_vqa_tpu.ops.cells import filter_update
 
-        ll = _gather_attr_options(world.attr_ll, options)  # (B, K, O)
+        ll = _gather_attr_options(world, options)  # (B, K, O)
         ll = normalize_over_options(ll, opt_mask, enabled=normalize and self.cfg.normalize_oracle)
         ll = _apply_option_negation(ll, options)
         out = filter_update(att[:, None, :], ll, gates["filter"] if gates else None)
@@ -362,7 +382,7 @@ class Interpreter:
             att = atts[0]
             aux = arrays["last_aux"]
             s = arrays["last_flag"][:, None]
-            ll_aux = _gather_attr(world.attr_ll, aux)
+            ll_aux = _gather_attr(world, aux)
             x = jnp.where((aux != 0)[:, None], ll_aux, 0.0)
             if tmods and tmods.get("select") is not None:
                 x = jnp.where((aux != 0)[:, None], _modulate(x, tmods["select"]), x)
@@ -389,7 +409,7 @@ class Interpreter:
             att = atts[0]
             aux = arrays["last_aux"]
             s = arrays["last_flag"][:, None]
-            ll_aux = _gather_attr(world.attr_ll, aux)
+            ll_aux = _gather_attr(world, aux)
             x = jnp.where((aux != 0)[:, None], ll_aux, 0.0)
             if tmods and tmods.get("select") is not None:
                 x = jnp.where((aux != 0)[:, None], _modulate(x, tmods["select"]), x)
@@ -449,7 +469,7 @@ class Interpreter:
             # is_less flip (batch_gqa_ops.py:730-758)
             from dfol_vqa_tpu.ops.cells import filter_update
 
-            ll = _gather_attr(world.attr_ll, arrays["last_tok"])
+            ll = _gather_attr(world, arrays["last_tok"])
             g = gates["filter"] if gates else None
             a1, a2 = filter_update(atts[0], ll, g), filter_update(atts[1], ll, g)
             if tmods:
@@ -467,7 +487,7 @@ class Interpreter:
             # statement, probability read at the statement's object index
             from dfol_vqa_tpu.ops.cells import filter_update, normalize_over_options
 
-            ll = _gather_attr_options(world.attr_ll, options)  # (B, K, O)
+            ll = _gather_attr_options(world, options)  # (B, K, O)
             ll = normalize_over_options(ll, opt_mask, enabled=cfg.normalize_oracle)
             ll = _apply_option_negation(ll, options)
             att_k = filter_update(jnp.zeros_like(ll), ll,
@@ -496,6 +516,7 @@ class Interpreter:
             from dfol_vqa_tpu.models.oracle import rel_scores_for_pairs
 
             attr_lp = jnp.take(world.attr_ll, self._attr_index_arr + 1, axis=2)
+            attr_lp = jnp.take(attr_lp, world.img_index, axis=0)
             rel_lp = rel_scores_for_pairs(
                 params, world.attr_in, world.pos, arrays["pair_idx"], cfg,
                 rel_cols=self._rel_index_arr,
@@ -656,6 +677,7 @@ class Interpreter:
             rng=rng,
             deterministic=not is_training,
             needs_rel=needs_rel,
+            img_index=arrays.get("img_index"),
         )
         return self.execute(
             params, world, arrays, spec, is_training,

@@ -63,14 +63,25 @@ class World:
     53-61): per batch we hold the full per-object attribute log-likelihood
     matrix and a small per-question relation-table cache, so program
     execution is pure gathers + fuzzy-logic arithmetic.
+
+    Scenes are deduplicated per unique image: GQA averages ~10 questions per
+    image, so the expensive per-object caches are computed once per image
+    (U rows) and addressed per question through ``img_index`` — an
+    optimisation the reference's per-question ragged layout cannot express.
     """
 
-    obj_mask: jnp.ndarray  # (B, O) float {0,1}
-    attr_ll: jnp.ndarray  # (B, O, V+1): col 0 = default log-likelihood
+    obj_mask: jnp.ndarray  # (B, O) float {0,1} per QUESTION
+    attr_ll: jnp.ndarray  # (U, O, V+1) per UNIQUE image; col 0 = default ll
     rel_ll: jnp.ndarray  # (B, O, O, R): per-question relation-table cache
     rel_tokens: jnp.ndarray  # (B, R) int32 unsigned token codes (0 = pad)
-    attr_in: jnp.ndarray  # (B, O, D_att) featurized object inputs
+    attr_in: jnp.ndarray  # (B, O, D_att) featurized object inputs (gathered)
     pos: jnp.ndarray  # (B, O, 4) normalized bbox positional features
+    img_index: jnp.ndarray = None  # (B,) question -> unique-image row
+
+    def __post_init__(self):
+        if self.img_index is None:
+            B = self.obj_mask.shape[0]
+            object.__setattr__(self, "img_index", jnp.arange(B, dtype=jnp.int32))
 
     @property
     def batch_size(self) -> int:

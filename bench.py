@@ -142,6 +142,50 @@ def measure(hops: int, transfer_dtype: str = "bfloat16") -> float:
     return BATCH * n_stream / dt
 
 
+def measure_train(hops: int = 2, batch: int = 80) -> float:
+    """Training-step throughput (fwd+bwd+Adam) at curriculum-0 scale
+    (train_batch_size 1000 upstream; we report per-chip q/s at batch 80)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dfol_vqa_tpu.train.optim import build_optimizer
+
+    global BATCH
+    old_batch = BATCH
+    BATCH = batch
+    try:
+        interp, batches = build_batches(hops, seed=1)
+    finally:
+        BATCH = old_batch
+    params = jax.device_put(interp.init_params(jax.random.PRNGKey(0)))
+    cfg = interp.cfg
+    tx = build_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    spec, obj, mask, arrays = batches[0]
+    obj, mask = jnp.asarray(obj), jnp.asarray(mask)
+    arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        def loss_fn(p):
+            out = interp.forward(p, obj, mask, arrays, spec, True, rng)
+            return out["loss"] / jnp.maximum(jnp.sum(arrays["question_mask"]), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(0))
+    jax.block_until_ready(loss)
+    iters = 30
+    t0 = time.time()
+    for i in range(iters):
+        params, opt_state, loss = step(params, opt_state, jax.random.PRNGKey(i))
+    jax.block_until_ready(loss)
+    return batch * iters / (time.time() - t0)
+
+
 def main():
     baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
     baseline = None
@@ -151,6 +195,7 @@ def main():
 
     qps_1hop = measure(hops=2)
     qps_3hop = measure(hops=4)
+    train_qps = measure_train(hops=2, batch=80)
 
     base_1 = baseline["exist_1hop"]["questions_per_sec"] if baseline else None
     base_3 = baseline["exist_3hop_relational"]["questions_per_sec"] if baseline else None
@@ -163,6 +208,7 @@ def main():
         "extras": {
             "exist_3hop_relational_qps": round(qps_3hop, 2),
             "exist_3hop_relational_vs_baseline": round(qps_3hop / base_3, 2) if base_3 else None,
+            "train_step_qps_batch80": round(train_qps, 2),
             "baseline_source": "BASELINE_MEASURED.json (reference PyTorch CPU)",
         },
     }

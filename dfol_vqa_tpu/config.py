@@ -29,6 +29,10 @@ class TPUConfig:
     mesh_shape: Tuple[int, ...] = (1,)  # (data,) or (data, model)
     mesh_axes: Tuple[str, ...] = ("data",)
     compute_dtype: str = "float32"  # matmul input dtype ("bfloat16" on TPU)
+    vocab_pad_multiple: int = 128  # pad the embedding head's vocab dim to a
+    # lane multiple (2335 -> 2432): MXU-aligned matmuls + evenly shardable
+    # over the model mesh axis; padded columns are never addressed (codes
+    # are 1..2335)
     use_pallas: bool = False  # fused Pallas relation-oracle kernel
     rel_block_size: int = 0  # 0 = no chunking of the O^2 relation pass
     donate_state: bool = True

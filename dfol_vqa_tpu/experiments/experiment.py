@@ -75,6 +75,11 @@ class ExperimentBase:
     ):
         cfg = Config.from_yaml(config_file)
 
+        # Multi-host: activate the reference's dormant multi-node path
+        # (SURVEY.md §2.3) when launched under a JAX distributed environment.
+        if os.environ.get("DFOL_DISTRIBUTED"):
+            jax.distributed.initialize()
+
         logging.basicConfig(
             level=logging.DEBUG if cfg.verbose else logging.INFO,
             format="[%(levelname)s] %(asctime)s - %(name)s: %(message)s",

@@ -61,12 +61,17 @@ def init_oracle_params(key, cfg: Config, ontology) -> Dict[str, Any]:
     )
 
     concept_num = ontology.num_tokens
+    pad_mult = max(1, cfg.tpu.vocab_pad_multiple)
+    concept_pad = -(-concept_num // pad_mult) * pad_mult
     emb_in = cfg.embedding_input_dim
-    w = jax.random.normal(k_emb, (concept_num, emb_in), jnp.float32)
+    w = jax.random.normal(k_emb, (concept_pad, emb_in), jnp.float32)
     glove = ontology.embedding_matrix()[1:, :]  # (V, word_dim)
     d = min(cfg.word_embedding_dim, glove.shape[1], emb_in)
-    w = w.at[:, :d].set(jnp.asarray(glove[:, :d]))
-    params["embedding"] = {"w": w.T, "b": jnp.zeros((concept_num,), jnp.float32)}
+    w = w.at[:concept_num, :d].set(jnp.asarray(glove[:, :d]))
+    # padded vocab rows (codes > V) are never addressed; zero them so any
+    # accidental use is conspicuous
+    w = w.at[concept_num:, :].set(0.0)
+    params["embedding"] = {"w": w.T, "b": jnp.zeros((concept_pad,), jnp.float32)}
     return params
 
 

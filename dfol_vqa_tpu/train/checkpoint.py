@@ -56,11 +56,19 @@ def _set_path(tree, path, value) -> bool:
 
 
 def save(export_path_base: str, name: str, params, global_step: int = 0):
-    """Write params (+step) to ``export_path_base/name`` (.npz)."""
+    """Write params (+step) to ``export_path_base/name`` (.npz).
+
+    Atomic: written to a temp file then renamed, so a crash/preemption
+    mid-save never corrupts the previous checkpoint (the reference's
+    try/finally crash-save, trainer.py:638-651, can truncate its file)."""
     os.makedirs(export_path_base, exist_ok=True)
     flat = _flatten(jax.device_get(params))
     flat["__global_step__"] = np.asarray(global_step)
-    np.savez(os.path.join(export_path_base, name), **flat)
+    final = os.path.join(export_path_base, name + ".npz")
+    tmp = final + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, final)
 
 
 def load(import_path_base: str, name: str, params) -> Tuple[Any, int]:

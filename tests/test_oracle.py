@@ -46,7 +46,9 @@ def test_shapes(ontology, rng):
     attr_in, pos = featurize_objects(params["featurizer"], jnp.asarray(obj), cfg)
     assert attr_in.shape == (B, O, cfg.oracle_input_dim + 4)
     cache = om.attr_cache(params, attr_in, cfg)
-    assert cache.shape == (B, O, ontology.num_tokens + 1)
+    pad = cfg.tpu.vocab_pad_multiple
+    v_pad = -(-ontology.num_tokens // pad) * pad
+    assert cache.shape == (B, O, v_pad + 1)
     assert np.allclose(np.asarray(cache[..., 0]), om.DEFAULT_LOG_LIKELIHOOD)
 
     rel_tokens = jnp.asarray(rng.integers(1, 300, size=(B, 3)), jnp.int32)

@@ -125,6 +125,20 @@ def _relate_core(subj, obj, ll, obj_mask, gates=None):
     return relate_update(subj, obj, ll, ones, ones, obj_mask, gates=rel_gates)
 
 
+def _bce_terms(lp: jnp.ndarray):
+    """Stable BCE log terms from a LOG probability.
+
+    Matches torch.nn.functional.binary_cross_entropy semantics
+    (trainer.py:194: log clamped at -100) with gradient-safe clamps:
+    log(p) = lp directly (exact, unit gradient), and log(1-p) via expm1 with
+    the reciprocal bounded at 1e-12 — torch's BCE backward clamps the same
+    way; an unbounded 1/(1-p) overflows fp32 when p saturates."""
+    lg = jnp.maximum(lp, -100.0)
+    one_minus = -jnp.expm1(jnp.minimum(lp, -1e-12))
+    lg1 = jnp.maximum(jnp.log(jnp.clip(one_minus, 1e-12)), -100.0)
+    return lg, lg1
+
+
 def _modulate(att: jnp.ndarray, mods: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Attention calibration transform (batch_base_types.py:170-187) on a raw
     log-attention tensor; mods (..., 4) in sigmoid space broadcast over O."""
@@ -606,11 +620,8 @@ class Interpreter:
         if qtype == QuestionType.STATEMENT:
             loss = -jnp.sum(lp * qmask)
         elif qtype == QuestionType.BINARY:
-            p = jnp.exp(lp)
             t = arrays["answer_binary"]
-            # torch BCE clamps log at -100 (trainer.py:194)
-            lg = jnp.maximum(jnp.log(jnp.clip(p, 1e-45)), -100.0)
-            lg1 = jnp.maximum(jnp.log(jnp.clip(1.0 - p, 1e-45)), -100.0)
+            lg, lg1 = _bce_terms(lp)
             loss = -jnp.sum((t * lg + (1.0 - t) * lg1) * qmask)
         elif qtype == QuestionType.QUERY:
             # grouped softmax-CE over each question's options (trainer.py:207-230)
@@ -620,19 +631,15 @@ class Interpreter:
             loss = jnp.sum((denom - jnp.sum(target * lp * opt_mask, axis=1)) * qmask)
         elif qtype == QuestionType.OBJECT_STATEMENT:
             # weighted BCE over statements (trainer.py:196-205)
-            p = jnp.exp(lp)
             t = arrays["answer_opt"]
             w = arrays["stmt_weight"] * arrays["opt_mask"] * qmask[:, None]
-            lg = jnp.maximum(jnp.log(jnp.clip(p, 1e-45)), -100.0)
-            lg1 = jnp.maximum(jnp.log(jnp.clip(1.0 - p, 1e-45)), -100.0)
+            lg, lg1 = _bce_terms(lp)
             loss = -jnp.sum(w * (t * lg + (1.0 - t) * lg1))
         elif qtype == QuestionType.SCENE_GRAPH:
             # weighted BCE over the full attr matrix + listed-pair relations
             # (trainer.py:235-256)
             def bce(lp_x, t, w):
-                p = jnp.exp(lp_x)
-                lg = jnp.maximum(jnp.log(jnp.clip(p, 1e-45)), -100.0)
-                lg1 = jnp.maximum(jnp.log(jnp.clip(1.0 - p, 1e-45)), -100.0)
+                lg, lg1 = _bce_terms(lp_x)
                 return -jnp.sum(w * (t * lg + (1.0 - t) * lg1))
 
             a_w = arrays["attr_weight"] * qmask[:, None, None]

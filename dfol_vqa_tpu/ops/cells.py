@@ -149,10 +149,13 @@ def normalize_over_options(
 
     Dense masked replacement of the oracle's cluster normalisation
     (classifier_oracle.py:22-42,68-77 / util.py ClusteredLogSoftmax): within
-    each question's option group, res = ll - log(sum_k exp(ll_k)). Groups of
-    size 1 are NOT normalised upstream (`_build_map` returns None when every
-    cluster is a singleton); we reproduce that by skipping normalisation when
-    the valid-option count is 1.
+    each question's option group, res = ll - log(sum_k exp(ll_k)).
+
+    Upstream subtlety reproduced exactly: `_build_map` returns None — i.e.
+    normalisation is skipped for the WHOLE batch — only when every cluster
+    is a singleton (size == cluster_num, classifier_oracle.py:27-28). If any
+    question in the batch has >1 option, singleton groups ARE normalised
+    (their value becomes ll - log(exp(ll)), an exp/log roundtrip of ~0).
 
     Args:
       ll: (B, K, ...) per-option log-likelihoods.
@@ -163,6 +166,6 @@ def normalize_over_options(
     extra = ll.ndim - 2
     m = opt_mask.reshape(opt_mask.shape + (1,) * extra)
     denom = logic.masked_logsumexp(ll, m, axis=1)
-    counts = jnp.sum(opt_mask, axis=1).reshape(opt_mask.shape[:1] + (1,) * (ll.ndim - 1))
     normed = ll - denom[:, None, ...]
-    return jnp.where(counts > 1, normed, ll)
+    any_multi = jnp.max(jnp.sum(opt_mask, axis=1)) > 1
+    return jnp.where(any_multi, normed, ll)

@@ -155,5 +155,10 @@ def test_normalize_over_options(rng):
     # group of size 2: normalized over valid options
     denom = np.log(np.exp(np.asarray(ll[0, :2])).sum(0))
     np.testing.assert_allclose(out[0, :2], np.asarray(ll[0, :2]) - denom, rtol=1e-5)
-    # group of size 1: untouched (reference skips singleton clusters)
-    np.testing.assert_allclose(out[1, 0], np.asarray(ll[1, 0]), rtol=1e-6)
+    # batch has a multi-option group -> singleton groups are normalised too
+    # (-> ~0 via the exp/log roundtrip), matching _build_map semantics
+    np.testing.assert_allclose(out[1, 0], 0.0, atol=1e-6)
+    # all-singleton batch -> untouched
+    mask1 = jnp.asarray([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    out1 = np.asarray(normalize_over_options(ll, mask1))
+    np.testing.assert_allclose(out1[0, 0], np.asarray(ll[0, 0]), rtol=1e-6)

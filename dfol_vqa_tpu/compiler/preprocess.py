@@ -14,8 +14,8 @@ from __future__ import annotations
 import json
 import os
 import re
-from os.path import isdir, isfile, join, split, splitext
-from typing import Dict, List, Optional, Tuple
+from os.path import isdir, isfile, join, splitext
+from typing import Dict, List, Optional
 
 from dfol_vqa_tpu.compiler.normalize import normalize
 

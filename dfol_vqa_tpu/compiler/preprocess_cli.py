@@ -5,7 +5,7 @@
 
 import argparse
 import os
-from os.path import exists, isfile, join, split, splitext
+from os.path import isfile, join, split, splitext
 
 from dfol_vqa_tpu.compiler.preprocess import GQAPreprocessor
 from dfol_vqa_tpu.ontology import GQAOntology

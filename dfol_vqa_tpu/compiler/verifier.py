@@ -8,9 +8,6 @@ membership.
 
 from __future__ import annotations
 
-import re
-from typing import List
-
 from dfol_vqa_tpu.ontology import GQAOntology, is_negated_token, strip_negation
 
 TWO_BRANCH = ("and", "or", "two_same", "two_different", "compare")

@@ -16,8 +16,6 @@ import threading
 from typing import Iterator, Optional
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 try:
     import ml_dtypes

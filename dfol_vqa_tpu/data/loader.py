@@ -10,9 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, List, Optional, Sequence, Tuple
-
-import numpy as np
+from typing import Iterator, List, Sequence
 
 from dfol_vqa_tpu.compiler.program_compiler import (
     BucketSpec,

@@ -14,7 +14,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 from dfol_vqa_tpu.compiler.program_compiler import ProgramCompiler
 from dfol_vqa_tpu.config import Config

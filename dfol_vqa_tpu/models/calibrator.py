@@ -32,13 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dfol_vqa_tpu import nn
-from dfol_vqa_tpu.compiler.program_compiler import (
-    OP_FILTER,
-    OP_PAD,
-    OP_RELATE,
-    OP_SELECT,
-    BucketSpec,
-)
+from dfol_vqa_tpu.compiler.program_compiler import OP_FILTER, OP_PAD, OP_RELATE, OP_SELECT, BucketSpec
 from dfol_vqa_tpu.config import Config
 
 # batch_gqa_interpreter.py:69-70

@@ -10,7 +10,7 @@ collated upstream (…:71). The ragged same-image pair extraction
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

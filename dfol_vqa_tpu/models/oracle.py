@@ -28,7 +28,6 @@ Key TPU reworks vs. the reference:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax

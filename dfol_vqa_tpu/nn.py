@@ -14,7 +14,7 @@ uniform 1/sqrt(hidden) for LSTMCell) so training dynamics are comparable.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -20,9 +20,6 @@ the XLA formulation (which autodiffs) — see models/interpreter.build_world.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -248,9 +248,10 @@ class Interpreter:
         obj_mask = q_mask
         B, O = obj_mask.shape
         if needs_rel and rel_tokens is not None:
-            # Pallas kernel serves the inference path; training keeps the XLA
-            # formulation (autodiff) until the kernel grows a custom VJP.
-            if cfg.tpu.use_pallas and deterministic:
+            # Pallas kernel has a fused custom VJP, so it serves training
+            # too; with active dropout it falls back to the XLA path (the
+            # decomposed layers need per-stream masks).
+            if cfg.tpu.use_pallas:
                 from dfol_vqa_tpu.ops.pallas.relation_oracle import rel_cache_pallas
 
                 rel_ll = rel_cache_pallas(

@@ -14,11 +14,14 @@ so only the (B, O, O, R) result (R = per-question relation-table slots,
 typically 4-16) ever touches HBM. The two big matmuls run on the MXU with
 (TI*TJ)-row operands.
 
-Used for the inference/cached path (build_scene); the training path keeps
-the XLA formulation (which autodiffs) — see models/interpreter.build_world.
+A custom VJP pairs the forward with a fused backward kernel (same tiling,
+recompute-in-VMEM) so the training path is fully Pallas too; weight
+gradients accumulate across grid steps via output-block revisiting.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +61,175 @@ def _kernel(hs_ref, ho_ref, geom_ref, wg_ref, b0_ref, w2_ref, b2_ref,
         + bsel_ref[0, 0][None, :]
     )  # (TI*TJ, R)
     out_ref[0] = jax.nn.log_sigmoid(logits).reshape(TI, TJ, R)
+
+
+def _bwd_kernel(hs_ref, ho_ref, geom_ref, wg_ref, b0_ref, w2_ref, b2_ref,
+                esel_ref, bsel_ref, g_ref,
+                dhs_ref, dho_ref, dgeom_ref, dwg_ref, db0_ref, dw2_ref,
+                db2_ref, desel_ref, dbsel_ref):
+    """Fused backward: recompute the tile's activations in VMEM, emit all
+    gradients. Accumulating outputs are zero-initialised on their first
+    visit and accumulated on revisits (weight grads / dh_s); dh_o uses a
+    per-i-tile partial-sum layout (summed by XLA afterwards) because its
+    (b, j) blocks would be revisited non-consecutively."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    TI = hs_ref.shape[1]
+    TJ = ho_ref.shape[1]
+    H = hs_ref.shape[2]
+    R = esel_ref.shape[1]
+
+    hs = hs_ref[0]
+    ho = ho_ref[0]
+    geom = geom_ref[0].reshape(TI * TJ, geom_ref.shape[3])
+
+    z1 = (hs[:, None, :] + ho[None, :, :]).reshape(TI * TJ, H) + jnp.dot(
+        geom, wg_ref[:], preferred_element_type=jnp.float32
+    ) + b0_ref[:]
+    h1 = jnp.where(z1 > 0, z1, jnp.exp(jnp.minimum(z1, 0.0)) - 1.0)
+    z2 = jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    h2 = jax.nn.sigmoid(z2)
+    logits = jnp.dot(h2, esel_ref[0].T, preferred_element_type=jnp.float32) + bsel_ref[0, 0][None, :]
+
+    g = g_ref[0].reshape(TI * TJ, R)
+    dlogits = g * jax.nn.sigmoid(-logits)
+    dh2 = jnp.dot(dlogits, esel_ref[0], preferred_element_type=jnp.float32)
+    dz2 = dh2 * h2 * (1.0 - h2)
+    dh1 = jnp.dot(dz2, w2_ref[:].T, preferred_element_type=jnp.float32)
+    dz1 = dh1 * jnp.where(z1 > 0, 1.0, jnp.exp(jnp.minimum(z1, 0.0)))
+
+    first = (b == 0) & (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _():
+        dwg_ref[...] = jnp.zeros_like(dwg_ref)
+        db0_ref[...] = jnp.zeros_like(db0_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        desel_ref[...] = jnp.zeros_like(desel_ref)
+        dbsel_ref[...] = jnp.zeros_like(dbsel_ref)
+
+    @pl.when(j == 0)
+    def _():
+        dhs_ref[...] = jnp.zeros_like(dhs_ref)
+
+    dwg_ref[...] += jnp.dot(geom.T, dz1, preferred_element_type=jnp.float32)
+    db0_ref[...] += jnp.sum(dz1, axis=0)[None, :]
+    dw2_ref[...] += jnp.dot(h1.T, dz2, preferred_element_type=jnp.float32)
+    db2_ref[...] += jnp.sum(dz2, axis=0)[None, :]
+    desel_ref[0] += jnp.dot(dlogits.T, h2, preferred_element_type=jnp.float32)
+    dbsel_ref[0, 0] += jnp.sum(dlogits, axis=0)
+
+    dz1_t = dz1.reshape(TI, TJ, H)
+    dhs_ref[0] += jnp.sum(dz1_t, axis=1)
+    dho_ref[0, 0] = jnp.sum(dz1_t, axis=0)  # partial: this (b, i, j) only
+    dgeom_ref[0] = jnp.dot(dz1, wg_ref[:].T, preferred_element_type=jnp.float32).reshape(
+        TI, TJ, geom_ref.shape[3]
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pair_tail(static, h_s, h_o, geom, w_g, b0, w2, b2, e_sel, b_sel):
+    """Padded pair-tail with fused fwd/bwd kernels. `static` = (tile, interpret)."""
+    return _pair_tail_fwd(static, h_s, h_o, geom, w_g, b0, w2, b2, e_sel, b_sel)[0]
+
+
+def _run_fwd(static, h_s, h_o, geom, w_g, b0, w2, b2, e_sel, b_sel):
+    tile, interpret = static
+    B, O_pad, H = h_s.shape
+    E = w2.shape[1]
+    R = e_sel.shape[1]
+    nI = O_pad // tile
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((B, O_pad, O_pad, R), jnp.float32),
+        grid=(B, nI, nI),
+        in_specs=[
+            pl.BlockSpec((1, tile, H), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, H), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, tile, 4), lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, H), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H,), lambda b, i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, E), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda b, i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, E), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, tile, R), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(h_s, h_o, geom, w_g, b0, w2, b2, e_sel, b_sel[:, None, :])
+
+
+def _pair_tail_fwd(static, h_s, h_o, geom, w_g, b0, w2, b2, e_sel, b_sel):
+    out = _run_fwd(static, h_s, h_o, geom, w_g, b0, w2, b2, e_sel, b_sel)
+    return out, (h_s, h_o, geom, w_g, b0, w2, b2, e_sel, b_sel)
+
+
+def _pair_tail_bwd(static, res, g):
+    tile, interpret = static
+    h_s, h_o, geom, w_g, b0, w2, b2, e_sel, b_sel = res
+    B, O_pad, H = h_s.shape
+    E = w2.shape[1]
+    R = e_sel.shape[1]
+    nI = O_pad // tile
+
+    outs = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, O_pad, H), jnp.float32),        # dh_s
+            jax.ShapeDtypeStruct((B, nI, O_pad, H), jnp.float32),    # dh_o partials
+            jax.ShapeDtypeStruct((B, O_pad, O_pad, 4), jnp.float32),  # dgeom
+            jax.ShapeDtypeStruct((4, H), jnp.float32),               # dWg
+            jax.ShapeDtypeStruct((1, H), jnp.float32),               # db0
+            jax.ShapeDtypeStruct((H, E), jnp.float32),               # dW2
+            jax.ShapeDtypeStruct((1, E), jnp.float32),               # db2
+            jax.ShapeDtypeStruct((B, R, E), jnp.float32),            # de_sel
+            jax.ShapeDtypeStruct((B, 1, R), jnp.float32),            # db_sel
+        ),
+        grid=(B, nI, nI),
+        in_specs=[
+            pl.BlockSpec((1, tile, H), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, H), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, tile, 4), lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, H), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H,), lambda b, i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, E), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((E,), lambda b, i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, E), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, tile, R), lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, H), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile, H), lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, tile, 4), lambda b, i, j: (b, i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, H), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, E), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, E), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, R), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(h_s, h_o, geom, w_g, b0, w2, b2, e_sel, b_sel[:, None, :], g)
+
+    dh_s, dho_part, dgeom, dwg, db0, dw2, db2, desel, dbsel = outs
+    dh_o = jnp.sum(dho_part, axis=1)
+    return (dh_s, dh_o, dgeom, dwg, db0[0], dw2, db2[0], desel, dbsel[:, 0, :])
+
+
+_pair_tail.defvjp(_pair_tail_fwd, _pair_tail_bwd)
 
 
 def rel_cache_pallas(
@@ -108,41 +280,14 @@ def rel_cache_pallas(
         h_o = jnp.pad(h_o, ((0, 0), (0, pad_o), (0, 0)))
         geom = jnp.pad(geom, ((0, 0), (0, pad_o), (0, pad_o), (0, 0)))
 
-    nI = O_pad // tile
-    grid = (B, nI, nI)
-
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
-    out = pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((B, O_pad, O_pad, R), jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tile, H), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, H), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, tile, 4), lambda b, i, j: (b, i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, H), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H,), lambda b, i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, E), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((E,), lambda b, i, j: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, E), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, R), lambda b, i, j: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tile, tile, R), lambda b, i, j: (b, i, j, 0), memory_space=pltpu.VMEM
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * O_pad * O_pad * (H * E + E * R + 4 * H),
-            bytes_accessed=B * O_pad * H * 8 + B * O_pad * O_pad * (R + 4) * 4,
-            transcendentals=B * O_pad * O_pad * (H + E + R),
-        ),
-        interpret=interpret,
-    )(
+    out = _pair_tail(
+        (tile, interpret),
         h_s, h_o, geom,
         rp["layers"][0]["w"][2 * d_att :],  # w_g
         b0,
         rp["layers"][1]["w"], rp["layers"][1]["b"],
-        e_sel, b_sel[:, None, :],
+        e_sel, b_sel,
     )
 
     out = out[:, :O, :O, :]

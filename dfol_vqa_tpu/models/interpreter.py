@@ -247,11 +247,19 @@ class Interpreter:
             q_mask = jnp.take(obj_mask, img_index, axis=0)
         obj_mask = q_mask
         B, O = obj_mask.shape
+        U = attr_in_u.shape[0]
         if needs_rel and rel_tokens is not None:
-            # Pallas kernel has a fused custom VJP, so it serves training
-            # too; with active dropout it falls back to the XLA path (the
-            # decomposed layers need per-stream masks).
-            if cfg.tpu.use_pallas:
+            # Path choice (static, per jit signature): when questions share
+            # images heavily (U <= B/2), compute the O^2 pair code once per
+            # unique image and contract per question; otherwise run the
+            # fused per-question Pallas kernel (custom VJP) or the XLA
+            # formulation. Dropout falls back to XLA inside the kernel.
+            if U * 2 <= B:
+                rel_ll = om.rel_cache_shared(
+                    params, attr_in_u, pos_u, img_index, rel_tokens, cfg, r_rel,
+                    deterministic,
+                )
+            elif cfg.tpu.use_pallas:
                 from dfol_vqa_tpu.ops.pallas.relation_oracle import rel_cache_pallas
 
                 rel_ll = rel_cache_pallas(

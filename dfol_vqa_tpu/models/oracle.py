@@ -256,6 +256,76 @@ def rel_cache(
     return jnp.where(pad_slot, default_ll, ll)
 
 
+def rel_cache_shared(
+    params,
+    attr_in_u: jnp.ndarray,
+    pos_u: jnp.ndarray,
+    img_index: jnp.ndarray,
+    rel_tokens: jnp.ndarray,
+    cfg: Config,
+    rng=None,
+    deterministic: bool = True,
+    default_ll: float = DEFAULT_LOG_LIKELIHOOD,
+) -> jnp.ndarray:
+    """Relation cache with the pair MLP computed once per UNIQUE image.
+
+    The heavy O^2 pair code h2 = sigmoid(MLP(pair)) depends only on the
+    scene, not the question; with GQA's ~10 questions/image, computing it on
+    (U, O, O, E) and doing only the per-question relation-table contraction
+    on (B, ...) removes ~90%% of the pair-MLP FLOPs. Trades an (U, O, O, E)
+    HBM intermediate for the reuse — preferable once B/U is large (the
+    executor picks between this and the fused per-question kernel)."""
+    rp = params["relation_network"]
+    emb_w = params["embedding"]["w"]
+    emb_b = params["embedding"]["b"]
+    compute_dtype = jnp.dtype(cfg.tpu.compute_dtype)
+
+    U, O, d_att = attr_in_u.shape
+    geom = pair_geometry(pos_u)
+
+    layers = rp["layers"]
+    n = len(layers)
+    rngs = (
+        jax.random.split(rng, n + 2) if (rng is not None and not deterministic) else [None] * (n + 2)
+    )
+    w_s, w_o, w_g, b0 = _first_layer_split(layers[0], d_att)
+    x = nn.dropout(attr_in_u, cfg.dropout, rngs[0], deterministic).astype(compute_dtype)
+    x_obj = nn.dropout(attr_in_u, cfg.dropout, rngs[1], deterministic).astype(compute_dtype)
+    h_s = jnp.dot(x, w_s.astype(compute_dtype), preferred_element_type=jnp.float32)
+    h_o = jnp.dot(x_obj, w_o.astype(compute_dtype), preferred_element_type=jnp.float32)
+    h = (
+        h_s[:, :, None, :]
+        + h_o[:, None, :, :]
+        + jnp.einsum("uijg,gh->uijh", geom, w_g, preferred_element_type=jnp.float32)
+        + b0
+    )
+    for i, lp in enumerate(layers[1:], start=1):
+        h = jax.nn.elu(h)
+        h = nn.dropout(h, cfg.dropout, rngs[i + 1], deterministic)
+        h = jnp.dot(
+            h.astype(compute_dtype), lp["w"].astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ) + lp["b"]
+    h2 = jax.nn.sigmoid(h)  # (U, O, O, E) shared pair code
+
+    tok0 = jnp.clip(rel_tokens - 1, 0)
+    e_sel = jnp.take(emb_w.T, tok0, axis=0)  # (B, R, E)
+    b_sel = jnp.take(emb_b, tok0, axis=0)  # (B, R)
+    h2_q = jnp.take(h2, img_index, axis=0)  # (B, O, O, E) gather view
+    logits = (
+        jnp.einsum(
+            "bije,bre->bijr",
+            h2_q.astype(compute_dtype),
+            e_sel.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        + b_sel[:, None, None, :]
+    )
+    ll = jax.nn.log_sigmoid(logits)
+    pad_slot = (rel_tokens == 0)[:, None, None, :]
+    return jnp.where(pad_slot, default_ll, ll)
+
+
 def rel_scores_for_pairs(
     params,
     attr_in: jnp.ndarray,

@@ -72,7 +72,7 @@ def build_batches(hops: int, seed: int = 0):
     loader = BatchLoader([ds], compiler, feats, BATCH, O_PAD, shuffle=False, prefetch=0)
     batches = [
         (b.spec, np.asarray(b.objects), np.asarray(b.obj_mask),
-         {k: np.asarray(v) for k, v in b.arrays.items()})
+         {k: np.asarray(v) for k, v in b.arrays.items()}, b.meta, b.packed)
         for b in loader
     ]
     return interp, batches
@@ -98,20 +98,20 @@ def measure(hops: int, transfer_dtype: str = "bfloat16") -> float:
     params = jax.device_put(interp.init_params(jax.random.PRNGKey(0)))
 
     host_batches = []
-    for spec, obj, mask, arrays in batches:
+    for spec, obj, mask, arrays, meta, packed in batches:
         if transfer_dtype == "bfloat16":
             obj = obj.astype(bf16)
-        host_batches.append((spec, obj, mask, arrays))
+        host_batches.append((spec, obj, mask, meta, packed))
 
     step_fns = {}
-    for spec, *_ in host_batches:
-        if spec not in step_fns:
-            step_fns[spec] = interp.step(spec, is_training=False)
+    for spec, obj, mask, meta, packed in host_batches:
+        if (spec, meta) not in step_fns:
+            step_fns[(spec, meta)] = interp.step_packed(spec, meta, is_training=False)
 
     # compile
-    for spec, obj, mask, arrays in host_batches:
-        out = step_fns[spec](params, jax.device_put(obj), jax.device_put(mask),
-                             jax.device_put(arrays), None)
+    for spec, obj, mask, meta, packed in host_batches:
+        out = step_fns[(spec, meta)](params, jax.device_put(obj), jax.device_put(mask),
+                                     jax.device_put(packed), None)
     jax.block_until_ready(out["log_probability"])
 
     import queue
@@ -121,8 +121,9 @@ def measure(hops: int, transfer_dtype: str = "bfloat16") -> float:
 
     def producer(q):
         for i in range(n_stream):
-            spec, obj, mask, arrays = host_batches[i % len(host_batches)]
-            q.put((spec, jax.device_put(obj), jax.device_put(mask), jax.device_put(arrays)))
+            spec, obj, mask, meta, packed = host_batches[i % len(host_batches)]
+            q.put((spec, meta, jax.device_put(obj), jax.device_put(mask),
+                   jax.device_put(packed)))
         q.put(None)
 
     q: "queue.Queue" = queue.Queue(maxsize=4)
@@ -134,8 +135,8 @@ def measure(hops: int, transfer_dtype: str = "bfloat16") -> float:
         item = q.get()
         if item is None:
             break
-        spec, obj, mask, arrays = item
-        out = step_fns[spec](params, obj, mask, arrays, None)
+        spec, meta, obj, mask, packed = item
+        out = step_fns[(spec, meta)](params, obj, mask, packed, None)
     jax.block_until_ready(out["log_probability"])
     dt = time.time() - t0
     t.join()
@@ -162,7 +163,7 @@ def measure_train(hops: int = 2, batch: int = 80) -> float:
     cfg = interp.cfg
     tx = build_optimizer(cfg, params)
     opt_state = tx.init(params)
-    spec, obj, mask, arrays = batches[0]
+    spec, obj, mask, arrays, meta, packed = batches[0]
     obj, mask = jnp.asarray(obj), jnp.asarray(mask)
     arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
 

@@ -624,3 +624,50 @@ def batch_arrays(batch: CompiledBatch) -> Dict[str, np.ndarray]:
         if isinstance(v, np.ndarray):
             out[f.name] = v
     return out
+
+
+def pack_meta(arrays: Dict[str, np.ndarray]) -> Tuple:
+    """Static packing descriptor: ((key, shape, dtype, offset), ..., total).
+
+    ~17 small program tensors per batch would otherwise cost one host->device
+    RPC each (dominant on tunneled/remote TPU frontends); they are packed
+    into ONE int32 buffer and unpacked with slices/bitcasts inside jit."""
+    meta = []
+    off = 0
+    for k in sorted(arrays):
+        v = arrays[k]
+        assert v.dtype.itemsize == 4, (k, v.dtype)
+        n = int(np.prod(v.shape)) if v.size else 0
+        meta.append((k, tuple(v.shape), str(v.dtype), off))
+        off += n
+    return tuple(meta) + ((off,),)
+
+
+def pack_arrays(arrays: Dict[str, np.ndarray], meta: Tuple) -> np.ndarray:
+    total = meta[-1][0]
+    out = np.empty((max(total, 1),), np.int32)
+    for k, shape, dtype, off in meta[:-1]:
+        v = arrays[k]
+        n = int(np.prod(shape)) if v.size else 0
+        if n:
+            out[off : off + n] = v.reshape(-1).view(np.int32)
+    return out
+
+
+def unpack_arrays(packed, meta: Tuple) -> Dict:
+    """Inverse of pack_arrays on device (inside jit): slices + bitcasts."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    out = {}
+    for k, shape, dtype, off in meta[:-1]:
+        n = int(np.prod(shape)) if len(shape) else 1
+        for d in shape:
+            if d == 0:
+                n = 0
+        sl = lax.slice_in_dim(packed, off, off + n) if n else jnp.zeros((0,), jnp.int32)
+        arr = sl.reshape(shape) if n else jnp.zeros(shape, jnp.int32)
+        if dtype == "float32":
+            arr = lax.bitcast_convert_type(arr, jnp.float32)
+        out[k] = arr
+    return out

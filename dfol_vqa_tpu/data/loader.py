@@ -17,13 +17,15 @@ from dfol_vqa_tpu.compiler.program_compiler import (
     CompiledBatch,
     ProgramCompiler,
     batch_arrays,
+    pack_arrays,
+    pack_meta,
 )
 from dfol_vqa_tpu.data.dataset import ProgramDataset, iter_batches
 from dfol_vqa_tpu.data.features import FeatureSource
 
 
 class LoadedBatch:
-    __slots__ = ("spec", "compiled", "objects", "obj_mask", "arrays")
+    __slots__ = ("spec", "compiled", "objects", "obj_mask", "arrays", "meta", "packed")
 
     def __init__(self, spec: BucketSpec, compiled: CompiledBatch, objects, obj_mask,
                  img_index=None):
@@ -34,6 +36,9 @@ class LoadedBatch:
         self.arrays = batch_arrays(compiled)
         if img_index is not None:
             self.arrays["img_index"] = img_index
+        # one-buffer transfer form (pack_meta docstring)
+        self.meta = pack_meta(self.arrays)
+        self.packed = pack_arrays(self.arrays, self.meta)
 
     @property
     def batch_size(self) -> int:

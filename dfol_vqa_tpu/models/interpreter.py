@@ -772,6 +772,23 @@ class Interpreter:
             self._step_cache[key] = fn
         return self._step_cache[key]
 
+    def step_packed(self, spec: BucketSpec, meta, is_training: bool):
+        """Jitted forward taking the single packed program buffer."""
+        from dfol_vqa_tpu.compiler.program_compiler import unpack_arrays
+
+        key = (spec, meta, is_training)
+        if key not in self._step_cache:
+
+            @jax.jit
+            def fn(params, objects, obj_mask, packed, rng):
+                arrays = unpack_arrays(packed, meta)
+                return self.forward(
+                    params, objects, obj_mask, arrays, spec, is_training, rng
+                )
+
+            self._step_cache[key] = fn
+        return self._step_cache[key]
+
     def parameter_count(self, params) -> int:
         from dfol_vqa_tpu.nn import param_count
 

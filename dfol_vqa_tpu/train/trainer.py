@@ -74,12 +74,18 @@ class VQATrainer:
 
     # --------------------------------------------------------------- step fns
 
-    def _train_step(self, spec: BucketSpec):
-        if spec in self._train_cache:
-            return self._train_cache[spec]
+    def _train_step(self, spec: BucketSpec, meta=None):
+        key = (spec, meta)
+        if key in self._train_cache:
+            return self._train_cache[key]
         interp = self.interp
 
         def step(params, opt_state, objects, obj_mask, arrays, rng):
+            if meta is not None:
+                from dfol_vqa_tpu.compiler.program_compiler import unpack_arrays
+
+                arrays = unpack_arrays(arrays, meta)
+
             def loss_fn(p):
                 out = interp.forward(p, objects, obj_mask, arrays, spec, True, rng)
                 n = jnp.maximum(jnp.sum(arrays["question_mask"]), 1.0)
@@ -97,21 +103,25 @@ class VQATrainer:
             from dfol_vqa_tpu.parallel.mesh import shard_train_step
 
             fn = shard_train_step(step, self._mesh)
-        self._train_cache[spec] = fn
+        self._train_cache[key] = fn
         return fn
 
-    def _eval_step(self, spec: BucketSpec):
-        if spec in self._eval_cache:
-            return self._eval_cache[spec]
+    def _eval_step(self, spec: BucketSpec, meta=None):
+        key = (spec, meta)
+        if key in self._eval_cache:
+            return self._eval_cache[key]
         interp = self.interp
 
         @jax.jit
         def step(params, objects, obj_mask, arrays):
+            if meta is not None:
+                from dfol_vqa_tpu.compiler.program_compiler import unpack_arrays
+
+                arrays = unpack_arrays(arrays, meta)
             out = interp.forward(params, objects, obj_mask, arrays, spec, False, None)
             return out
 
-        self._eval_cache[spec] = step
-        self._eval_cache[spec] = step
+        self._eval_cache[key] = step
         return step
 
     # ------------------------------------------------------------- utilities
@@ -164,11 +174,10 @@ class VQATrainer:
                     total_loss, total_n = 0.0, 0
                     for j, batch in enumerate(train_loader):
                         rng, sub = jax.random.split(rng)
-                        fn = self._train_step(batch.spec)
+                        fn = self._train_step(batch.spec, batch.meta)
                         params, opt_state, loss, match = fn(
                             params, opt_state, jnp.asarray(batch.objects),
-                            jnp.asarray(batch.obj_mask),
-                            {k: jnp.asarray(v) for k, v in batch.arrays.items()}, sub,
+                            jnp.asarray(batch.obj_mask), jnp.asarray(batch.packed), sub,
                         )
                         n = batch.batch_size
                         total_loss += float(loss) * n
@@ -220,9 +229,9 @@ class VQATrainer:
         error = np.zeros(ERROR_DIM, np.float32)
         total = np.zeros(ERROR_DIM, np.float32)
         for batch in loader:
-            out = self._eval_step(batch.spec)(
+            out = self._eval_step(batch.spec, batch.meta)(
                 params, jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask),
-                {k: jnp.asarray(v) for k, v in batch.arrays.items()},
+                jnp.asarray(batch.packed),
             )
             qm = batch.compiled.question_mask
             match = np.asarray(out["match"]) * qm
@@ -267,9 +276,9 @@ class VQATrainer:
             params, self.global_step = ckpt.load(import_path_base, self.cfg.model_name, params)
         predictions: List[dict] = []
         for batch in loader:
-            out = self._eval_step(batch.spec)(
+            out = self._eval_step(batch.spec, batch.meta)(
                 params, jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask),
-                {k: jnp.asarray(v) for k, v in batch.arrays.items()},
+                jnp.asarray(batch.packed),
             )
             answers = self.decode_answers(out, batch)
             qtype = question_type_of(batch.spec.terminal_op)

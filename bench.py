@@ -118,28 +118,40 @@ def measure(hops: int, transfer_dtype: str = "bfloat16") -> float:
     import threading
 
     n_stream = STEADY_ITERS * len(host_batches)
+    N_PRODUCERS = 4  # concurrent device_puts overlap their RPC round-trips
 
-    def producer(q):
-        for i in range(n_stream):
+    qs = [queue.Queue(maxsize=3) for _ in range(N_PRODUCERS)]
+
+    def producer(k):
+        for i in range(k, n_stream, N_PRODUCERS):
             spec, obj, mask, meta, packed = host_batches[i % len(host_batches)]
-            q.put((spec, meta, jax.device_put(obj), jax.device_put(mask),
-                   jax.device_put(packed)))
-        q.put(None)
+            qs[k].put((spec, meta, jax.device_put(obj), jax.device_put(mask),
+                       jax.device_put(packed)))
+        qs[k].put(None)
 
-    q: "queue.Queue" = queue.Queue(maxsize=4)
-    t = threading.Thread(target=producer, args=(q,), daemon=True)
+    threads = [threading.Thread(target=producer, args=(k,), daemon=True)
+               for k in range(N_PRODUCERS)]
     t0 = time.time()
-    t.start()
+    for t in threads:
+        t.start()
     out = None
-    while True:
-        item = q.get()
+    alive = set(range(N_PRODUCERS))
+    i = 0
+    while alive:
+        k = i % N_PRODUCERS
+        i += 1
+        if k not in alive:
+            continue
+        item = qs[k].get()
         if item is None:
-            break
+            alive.discard(k)
+            continue
         spec, meta, obj, mask, packed = item
         out = step_fns[(spec, meta)](params, obj, mask, packed, None)
     jax.block_until_ready(out["log_probability"])
     dt = time.time() - t0
-    t.join()
+    for t in threads:
+        t.join()
     return BATCH * n_stream / dt
 
 

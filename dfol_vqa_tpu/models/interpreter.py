@@ -162,6 +162,13 @@ class Interpreter:
     forward (with optional trace), save/load handled by train.checkpoint."""
 
     def __init__(self, cfg: Config, ontology: GQAOntology):
+        if cfg.oracle_output_dim != 1:
+            raise NotImplementedError(
+                "oracle_output_dim > 1 (the 'trainable interpreter' BLC-module "
+                "path) is dead in the reference itself — its build path crashes "
+                "on a missing embedding_network (gqa_interpreter_experiments.py"
+                ":209 vs 181-198) — and is not supported here."
+            )
         self.cfg = cfg
         self.ont = ontology
         self._step_cache: Dict[Any, Any] = {}

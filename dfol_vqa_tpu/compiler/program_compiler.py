@@ -116,8 +116,9 @@ class CompiledBatch:
     last_rel_idx: np.ndarray  # (B,)
     # supervision
     answer_binary: np.ndarray  # (B,) 1.0 = yes
-    answer_opt: np.ndarray  # (B, K) target per option
+    answer_opt: np.ndarray  # (B, K) loss target per option (exact match)
     question_mask: np.ndarray  # (B,) 0 for padding rows
+    answer_match: Optional[np.ndarray] = None  # (B, K) substring accuracy credit
     # direct scene-graph supervision (object_attr / object_rel / scene)
     stmt_obj: Optional[np.ndarray] = None  # (B, K) object (or subject) index
     stmt_obj2: Optional[np.ndarray] = None  # (B, K) pair object index
@@ -378,6 +379,7 @@ class ProgramCompiler:
         opt_mask = np.zeros((B, K), np.float32)
         opt_rel_idx = np.zeros((B, K), np.int32)
         answer_opt = np.zeros((B, K), np.float32)
+        answer_match = np.zeros((B, K), np.float32)
         answer_binary = np.zeros((B,), np.float32)
 
         answers: List[Optional[str]] = []
@@ -393,6 +395,11 @@ class ProgramCompiler:
                     opt_rel_idx[qi, k] = opt_rel_lists[qi][k]
                 if ans is not None and str(o) == ans:
                     answer_opt[qi, k] = 1.0
+                # accuracy credit uses the reference's SUBSTRING match rule
+                # (`a in o`, trainer.py:285-293); the loss target above stays
+                # exact equality (trainer.py:212)
+                if ans is not None and ans in str(o):
+                    answer_match[qi, k] = 1.0
             if ans is not None:
                 answer_binary[qi] = 1.0 if ans in YES_ANSWERS else 0.0
 
@@ -426,6 +433,7 @@ class ProgramCompiler:
             last_rel_idx=last_rel_idx,
             answer_binary=answer_binary,
             answer_opt=answer_opt,
+            answer_match=answer_match,
             question_mask=np.ones((B,), np.float32),
             image_ids=[q.get("imageId") for q in questions],
             question_ids=[q.get("question_id") for q in questions],
@@ -454,6 +462,7 @@ def _empty_batch_fields(B: int, K: int) -> dict:
         last_rel_idx=np.zeros((B,), np.int32),
         answer_binary=np.zeros((B,), np.float32),
         answer_opt=np.zeros((B, K), np.float32),
+        answer_match=np.zeros((B, K), np.float32),
         question_mask=np.ones((B,), np.float32),
     )
 

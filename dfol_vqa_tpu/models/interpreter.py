@@ -604,7 +604,8 @@ class Interpreter:
             temp = jnp.exp(lp) * opt_mask
             mx = jnp.max(temp, axis=1, keepdims=True)
             flags = (temp == mx) & (temp > cfg.likelihood_threshold)
-            target = arrays["answer_opt"]
+            # accuracy credit: substring rule (trainer.py:285-293)
+            target = arrays.get("answer_match", arrays["answer_opt"])
             n_flags = jnp.sum(flags, axis=1)
             hit = jnp.sum(flags * target, axis=1)
             if cfg.first_answer:
@@ -619,7 +620,7 @@ class Interpreter:
         elif spec.terminal_op == "compare":
             idx = jnp.argmax(lp, axis=1)
             flags = jax.nn.one_hot(idx, 2) > 0
-            target = arrays["answer_opt"]
+            target = arrays.get("answer_match", arrays["answer_opt"])
             out["answer_flags"] = flags
             out["match"] = jnp.take_along_axis(target, idx[:, None], axis=1)[:, 0]
         else:  # BINARY / STATEMENT
@@ -723,12 +724,16 @@ class Interpreter:
         qtype = question_type_of(spec.terminal_op)
 
         modulations = None
+        # modulator disabled at test time only for query/choose terminals —
+        # the reference QUERY flag excludes `compare` (data_pipeline.py:171,
+        # trainer.py:97)
+        open_terminal = spec.terminal_op in ("query_attr", "choose_attr", "choose_rel")
         use_modulator = (
             cfg.activate_attention_transfer
             and "calibrator" in params
             and modulator_switch
-            and not (not is_training and qtype == QuestionType.QUERY)
-        )  # modulator disabled for open questions at test time (trainer.py:97)
+            and not (not is_training and open_terminal)
+        )
         if use_modulator:
             from dfol_vqa_tpu.models.calibrator import compute_modulations
 

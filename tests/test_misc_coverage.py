@@ -136,3 +136,19 @@ def test_bfloat16_compute_answers_stable(ontology):
     np.testing.assert_array_equal(
         np.asarray(o32["answer_flags"]), np.asarray(o16["answer_flags"])
     )
+
+
+def test_query_accuracy_uses_substring_rule(ontology):
+    """Reference accuracy credit is `answer in option` (substring), while the
+    loss target stays exact equality (trainer.py:212 vs 285-293)."""
+    from dfol_vqa_tpu.compiler.program_compiler import ProgramCompiler
+
+    compiler = ProgramCompiler(ontology, object_num=4)
+    q = question([[op("select", "car")]], op("choose_attr", ["light blue", "dark"]),
+                 answer="blue")
+    spec, cb = compiler.compile([q])
+    # 'blue' is a substring of option 'light blue' -> accuracy credit
+    assert cb.answer_match[0, 0] == 1.0
+    # but NOT an exact match -> no loss target
+    assert cb.answer_opt[0, 0] == 0.0
+    assert cb.answer_opt[0, 1] == 0.0

@@ -96,10 +96,11 @@ class ExperimentBase:
         trainer = VQATrainer(cfg, interp, logger, hardset_path=hardset_path)
 
         params = interp.init_params(jax.random.PRNGKey(seed or 0))
-        if load_model == "best":
-            params = trainer.load(best_path, params)
-        elif load_model == "last":
-            params = trainer.load(last_path, params)
+        if not is_training:  # training reloads per repetition inside train()
+            if load_model == "best":
+                params = trainer.load(best_path, params)
+            elif load_model == "last":
+                params = trainer.load(last_path, params)
         if reset_step:
             trainer.global_step = 0
 
@@ -121,6 +122,8 @@ class ExperimentBase:
                 last_export_path_base=last_path,
                 best_export_path_base=best_path,
                 seed=seed or 0,
+                load_model=load_model,
+                reset_step=reset_step,
             )
 
         import_path = {"best": best_path, "last": last_path}.get(load_model)

@@ -157,6 +157,8 @@ class VQATrainer:
         last_export_path_base: Optional[str] = None,
         best_export_path_base: Optional[str] = None,
         seed: int = 0,
+        load_model: Optional[str] = None,
+        reset_step: bool = False,
     ):
         cfg = self.cfg
         self._tx = build_optimizer(cfg, params)
@@ -168,6 +170,19 @@ class VQATrainer:
         self._best_error = np.inf
 
         for rep in range(cfg.repetition_num):
+            # per-repetition checkpoint reload (trainer.py:625-633)
+            if load_model == "best" and best_export_path_base:
+                try:
+                    params = self.load(best_export_path_base, params)
+                except FileNotFoundError:
+                    pass
+            elif load_model == "last" and last_export_path_base:
+                try:
+                    params = self.load(last_export_path_base, params)
+                except FileNotFoundError:
+                    pass
+            if reset_step:
+                self.global_step = 0
             for epoch in range(cfg.epoch_num):
                 start = time.time()
                 try:

@@ -28,35 +28,77 @@ from dfol_vqa_tpu.ontology import GQAOntology
 
 class ProgramDataset:
     """One JSON-lines or HDF5 question file (ProgramDataset analog,
-    data_pipeline.py:294-453)."""
+    data_pipeline.py:294-453).
 
-    def __init__(self, input_file, ontology: GQAOntology, in_memory: bool = True):
+    ``in_memory=False`` reads lazily — byte-offset indexed JSON lines or
+    per-index HDF5 reads — with an LRU decode cache, mirroring the
+    reference's linecache + OrderedDict cache (data_pipeline.py:309-313,
+    337-380)."""
+
+    def __init__(self, input_file, ontology: GQAOntology, in_memory: bool = True,
+                 max_cache_size: int = 100000):
         self._ont = ontology
         self._codec = ProgramH5Codec(ontology)
         self._h5_cols: Optional[Dict[str, np.ndarray]] = None
+        self._h5_file: Optional[str] = None
+        self._h5_handle = None
         self._rows: Optional[List[dict]] = None
+        self._offsets: Optional[List[int]] = None
+        self._path: Optional[str] = None
+        self._cache: "object" = None
+        self._max_cache = max_cache_size
 
         if isinstance(input_file, (list, tuple)):
             self._rows = list(input_file)
         elif splitext(input_file)[1] == ".h5":
             import h5py
 
-            with h5py.File(input_file, "r") as f:
-                self._h5_cols = {k: np.asarray(f[k]) for k in f.keys()}
-            self._n = self._h5_cols["image_id"].shape[0]
+            if in_memory:
+                with h5py.File(input_file, "r") as f:
+                    self._h5_cols = {k: np.asarray(f[k]) for k in f.keys()}
+                self._n = self._h5_cols["image_id"].shape[0]
+            else:
+                self._h5_file = input_file
+                with h5py.File(input_file, "r") as f:
+                    self._n = f["image_id"].shape[0]
+                import collections
+
+                self._cache = collections.OrderedDict()
         else:
-            with open(input_file, "r") as f:
-                self._rows = [json.loads(line) for line in f if line.strip()]
+            if in_memory:
+                with open(input_file, "r") as f:
+                    self._rows = [json.loads(line) for line in f if line.strip()]
+            else:
+                self._path = input_file
+                self._offsets = []
+                with open(input_file, "rb") as f:
+                    off = f.tell()
+                    for line in f:
+                        if line.strip():
+                            self._offsets.append(off)
+                        off = f.tell()
+                self._n = len(self._offsets)
+                import collections
+
+                self._cache = collections.OrderedDict()
         if self._rows is not None:
             self._n = len(self._rows)
 
     def __len__(self) -> int:
         return self._n
 
-    def __getitem__(self, idx: int) -> dict:
-        if self._rows is not None:
-            return self._rows[idx]
-        c = self._h5_cols
+    def _cached(self, idx, produce):
+        if self._cache is None:
+            return produce()
+        if idx in self._cache:
+            return self._cache[idx]
+        v = produce()
+        if len(self._cache) >= self._max_cache:
+            self._cache.popitem(last=False)
+        self._cache[idx] = v
+        return v
+
+    def _decode_h5_row(self, c, idx):
         return self._codec.decode_row(
             int(c["answer"][idx]),
             int(c["image_id"][idx]),
@@ -66,6 +108,28 @@ class ProgramDataset:
             c["last_args"][idx],
         )
 
+    def __getitem__(self, idx: int) -> dict:
+        if self._rows is not None:
+            return self._rows[idx]
+        if self._h5_cols is not None:
+            return self._decode_h5_row(self._h5_cols, idx)
+        if self._h5_file is not None:
+            def produce():
+                if self._h5_handle is None:
+                    import h5py
+
+                    self._h5_handle = h5py.File(self._h5_file, "r")
+                return self._decode_h5_row(self._h5_handle, idx)
+
+            return self._cached(idx, produce)
+
+        def produce():
+            with open(self._path, "rb") as f:
+                f.seek(self._offsets[idx])
+                return json.loads(f.readline())
+
+        return self._cached(idx, produce)
+
     @property
     def terminal_op(self) -> str:
         return self[0]["program"]["last_op"]["operator"]
@@ -74,18 +138,19 @@ class ProgramDataset:
 class GQADataManager:
     """Directory scanner -> list of file datasets (data_pipeline.py:875-900)."""
 
-    def __init__(self, data_path, ontology: GQAOntology, in_memory: bool = True):
-        if isinstance(data_path, (list, tuple)):
-            self.datasets = [ProgramDataset(data_path, ontology, in_memory)]
-        elif isfile(data_path):
-            self.datasets = [ProgramDataset(data_path, ontology, in_memory)]
+    def __init__(self, data_path, ontology: GQAOntology, in_memory: bool = True,
+                 max_cache_size: int = 100000):
+        if isinstance(data_path, (list, tuple)) or isfile(data_path):
+            self.datasets = [ProgramDataset(data_path, ontology, in_memory, max_cache_size)]
         else:
             files = sorted(
                 join(data_path, f)
                 for f in os.listdir(data_path)
                 if isfile(join(data_path, f)) and (f.endswith(".json") or f.endswith(".h5"))
             )
-            self.datasets = [ProgramDataset(f, ontology, in_memory) for f in files]
+            self.datasets = [
+                ProgramDataset(f, ontology, in_memory, max_cache_size) for f in files
+            ]
 
     def __len__(self) -> int:
         return sum(len(d) for d in self.datasets)

@@ -192,3 +192,29 @@ def test_predict_output_format(ontology, tmp_path):
     data = json.loads(out_path.read_text())
     assert len(data) == 10
     assert {"questionId", "prediction", "type", "options"} <= set(data[0].keys())
+
+
+def test_lazy_dataset_matches_in_memory(ontology, tmp_path):
+    """in_memory=False lazy reads (json offsets / per-index h5 + LRU) return
+    identical rows (reference data_pipeline.py:309-380)."""
+    import json as _json
+
+    qs = generate_questions(ontology, 15, terminal="exist", length=2, seed=9)
+    for i, q in enumerate(qs):
+        q["imageId"] = ontology._images[i]
+    jpath = tmp_path / "q.json"
+    with open(jpath, "w") as f:
+        for q in qs:
+            f.write(_json.dumps(q) + "\n")
+    codec = ProgramH5Codec(ontology)
+    hpath = tmp_path / "q.h5"
+    codec.write_h5(qs, str(hpath))
+
+    for path in (jpath, hpath):
+        mem = ProgramDataset(str(path), ontology, in_memory=True)
+        lazy = ProgramDataset(str(path), ontology, in_memory=False, max_cache_size=4)
+        assert len(mem) == len(lazy) == 15
+        for i in [0, 7, 14, 7, 3]:  # incl. cache hit + eviction traffic
+            a, b = mem[i], lazy[i]
+            assert a["program"] == b["program"]
+            assert str(a["answer"]) == str(b["answer"])

@@ -176,26 +176,31 @@ class Interpreter:
 
     @property
     def _attr_index_arr(self):
+        # host-array cache (see embedding_matrix note on tracer leaks)
         if getattr(self, "_attr_idx_cache", None) is None:
-            self._attr_idx_cache = jnp.asarray(np.asarray(self.ont._attribute_index, np.int32))
-        return self._attr_idx_cache
+            self._attr_idx_cache = np.asarray(self.ont._attribute_index, np.int32)
+        return jnp.asarray(self._attr_idx_cache)
 
     @property
     def _rel_index_arr(self):
         if getattr(self, "_rel_idx_cache", None) is None:
-            self._rel_idx_cache = jnp.asarray(np.asarray(self.ont._relation_index, np.int32))
-        return self._rel_idx_cache
+            self._rel_idx_cache = np.asarray(self.ont._relation_index, np.int32)
+        return jnp.asarray(self._rel_idx_cache)
 
     @property
     def embedding_matrix(self):
-        """Whole-vocabulary GloVe matrix (V+1, D) as a device array; used by
-        the calibrator features (replaces per-batch meta_data['embedding'])."""
+        """Whole-vocabulary GloVe matrix (V+1, D); used by the calibrator
+        features (replaces per-batch meta_data['embedding']).
+
+        The cache holds a HOST array (never a traced value — caching a jnp
+        array created under jit would leak a tracer across compilations);
+        jnp.asarray embeds it as a constant per compilation."""
         if self._emb_matrix is None:
             m = self.ont.embedding_matrix()
             if m.shape[1] != self.cfg.word_embedding_dim:
                 m = m[:, : self.cfg.word_embedding_dim]
-            self._emb_matrix = jnp.asarray(m)
-        return self._emb_matrix
+            self._emb_matrix = np.asarray(m)
+        return jnp.asarray(self._emb_matrix)
 
     # ------------------------------------------------------------ parameters
 

@@ -241,15 +241,28 @@ class VQATrainer:
     # ------------------------------------------------------------------- test
 
     def test_epoch(self, loader: BatchLoader, params) -> np.ndarray:
+        """One evaluation pass with 17-bucket error accounting.
+
+        Device outputs are collected asynchronously and synced once at the
+        end (unless hardset mining needs per-batch answers), so eval
+        throughput isn't bounded by per-batch host round-trips."""
         error = np.zeros(ERROR_DIM, np.float32)
         total = np.zeros(ERROR_DIM, np.float32)
+        pending = []
         for batch in loader:
             out = self._eval_step(batch.spec, batch.meta)(
                 params, jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask),
                 jnp.asarray(batch.packed),
             )
+            if self._hardset is not None:
+                match = np.asarray(out["match"]) * batch.compiled.question_mask
+                self._mine_hardset(batch, match)
+                pending.append((batch, match))
+            else:
+                pending.append((batch, out["match"]))
+        for batch, match in pending:
             qm = batch.compiled.question_mask
-            match = np.asarray(out["match"]) * qm
+            match = np.asarray(match) * qm
             n = qm.sum()
             err = float(n - match.sum())
             op_i = OP_INDEX[batch.spec.terminal_op]
@@ -257,8 +270,6 @@ class VQATrainer:
             error[op_i] += err
             total[0] += n
             total[op_i] += n
-            if self._hardset is not None:
-                self._mine_hardset(batch, match)
         with np.errstate(invalid="ignore", divide="ignore"):
             return np.where(total > 0, error / np.maximum(total, 1), 0.0)
 

@@ -218,3 +218,62 @@ def test_lazy_dataset_matches_in_memory(ontology, tmp_path):
             a, b = mem[i], lazy[i]
             assert a["program"] == b["program"]
             assert str(a["answer"]) == str(b["answer"])
+
+
+def test_mid_epoch_checkpointing_and_best_selection(ontology, tmp_path):
+    """ckeckpointing_frequency triggers mid-epoch validation + best/last saves
+    (reference trainer.py:404-423)."""
+    cfg = tiny_cfg(checkpointing_frequency=1, dropout=0.0)
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    qs = generate_questions(ontology, 16, terminal="exist", seed=8)
+    loader = make_loader(ontology, cfg, qs, batch_size=8)
+    val = make_loader(ontology, cfg, qs, batch_size=8, shuffle=False)
+    trainer = VQATrainer(cfg, interp)
+    best, last = str(tmp_path / "b"), str(tmp_path / "l")
+    trainer.train(loader, val, params, last_export_path_base=last,
+                  best_export_path_base=best)
+    assert os.path.exists(os.path.join(best, cfg.model_name + ".npz"))
+    assert os.path.exists(os.path.join(last, cfg.model_name + ".npz"))
+    assert np.isfinite(trainer._best_error)
+
+
+def test_hardset_mining_writes_files(ontology, tmp_path):
+    """-o hardset mining: per-op hard/easy JSONL + aggregate dumps
+    (reference trainer.py:33-45,301-316,714-718)."""
+    cfg = tiny_cfg(dropout=0.0)
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    qs = generate_questions(ontology, 12, terminal="exist", seed=9)
+    ds = ProgramDataset(qs, ontology)
+    compiler = ProgramCompiler(ontology, object_num=cfg.tpu.max_object_num,
+                               rel_slots=cfg.tpu.rel_table_size)
+    feats = SyntheticFeatures(box_dim=cfg.box_features_dim, min_objects=2,
+                              max_objects=cfg.tpu.max_object_num)
+    loader = BatchLoader([ds], compiler, feats, 6, cfg.tpu.max_object_num,
+                         shuffle=False, prefetch=0, keep_original=True)
+    hp = str(tmp_path / "hardset")
+    os.makedirs(hp)
+    trainer = VQATrainer(cfg, interp, hardset_path=hp)
+    trainer.test(loader, params)
+    assert os.path.exists(os.path.join(hp, "hard.json"))
+    assert os.path.exists(os.path.join(hp, "easy.json"))
+    hard = json.loads(open(os.path.join(hp, "hard.json")).read())
+    easy = json.loads(open(os.path.join(hp, "easy.json")).read())
+    assert len(hard) + len(easy) == 12
+
+
+def test_predict_submission_mode(ontology, tmp_path):
+    cfg = tiny_cfg(dropout=0.0)
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    qs = generate_questions(ontology, 6, terminal="choose_attr", seed=10)
+    loader = make_loader(ontology, cfg, qs, batch_size=6, shuffle=False)
+    trainer = VQATrainer(cfg, interp)
+    out_path = tmp_path / "sub.json"
+    with open(out_path, "w") as f:
+        trainer.predict(loader, params, f, is_submission=True)
+    data = json.loads(out_path.read_text())
+    assert len(data) == 6
+    assert set(data[0].keys()) == {"questionId", "prediction"}
+    assert isinstance(data[0]["prediction"], str)

@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--box-dim", type=int, default=256)
+    ap.add_argument("--calibration-steps", type=int, default=0,
+                    help="stage-B: train the attention calibrator on the frozen oracle")
     args = ap.parse_args()
 
     import jax
@@ -94,6 +96,47 @@ def main():
     dt = time.time() - t0
     acc = accuracy(params)
     print(f"final held-out accuracy after {step} steps ({dt:.0f}s): {acc:.3f}")
+
+    if args.calibration_steps > 0:
+        # stage B (curriculum-6 style): freeze the oracle, train the bi-LSTM
+        # attention calibrator on top (README.md curriculum 6-7)
+        cfg.activate_attention_transfer = True
+        for k in ("freeze_featurizer", "freeze_attribute_network",
+                  "freeze_relation_network", "freeze_embedding_network"):
+            setattr(cfg, k, True)
+        interp_c = Interpreter(cfg, ont)
+        params_c = interp_c.init_params(jax.random.PRNGKey(1))
+        for key in params:
+            # deep-copy: the train step donates its params buffers
+            params_c[key] = jax.tree_util.tree_map(jnp.copy, params[key])
+        emb_snapshot = np.asarray(params["embedding"]["w"]).copy()
+
+        trainer_c = VQATrainer(cfg, interp_c)
+        trainer_c._tx = build_optimizer(cfg, params_c)
+        opt_state_c = trainer_c._tx.init(params_c)
+
+        def accuracy_c(p):
+            err = trainer_c.test_epoch(loader(test_qs, False), p)
+            return 1.0 - err[0]
+
+        print(f"calibration start accuracy (identity modulator): {accuracy_c(params_c):.3f}")
+        step = 0
+        while step < args.calibration_steps:
+            for batch in loader(train_qs, True):
+                if step >= args.calibration_steps:
+                    break
+                rng2 = jax.random.fold_in(jax.random.PRNGKey(2), step)
+                fn = trainer_c._train_step(batch.spec, batch.meta)
+                params_c, opt_state_c, loss, _ = fn(
+                    params_c, opt_state_c, jnp.asarray(batch.objects),
+                    jnp.asarray(batch.obj_mask), jnp.asarray(batch.packed), rng2,
+                )
+                step += 1
+        acc_c = accuracy_c(params_c)
+        print(f"accuracy after {step} calibration steps: {acc_c:.3f}")
+        # frozen-oracle invariant
+        assert np.array_equal(np.asarray(params_c["embedding"]["w"]), emb_snapshot)
+        return max(acc, acc_c)
     return acc
 
 

@@ -26,15 +26,18 @@ except ImportError:  # pragma: no cover
 
 
 def to_device_batch(batch, transfer_dtype: Optional[str] = None, sharding=None):
-    """LoadedBatch -> (spec, objects, obj_mask, arrays) on device."""
+    """LoadedBatch -> (batch, objects, obj_mask, packed) on device.
+
+    Program tensors travel as ONE packed buffer (compiler.pack_arrays);
+    consumers unpack inside jit via `batch.meta`."""
     obj = batch.objects
     if transfer_dtype == "bfloat16" and _BF16 is not None:
         obj = obj.astype(_BF16)
     put = (lambda x: jax.device_put(x, sharding(x))) if sharding else jax.device_put
     objects = put(obj)
     obj_mask = put(batch.obj_mask)
-    arrays = {k: put(v) for k, v in batch.arrays.items()}
-    return batch, objects, obj_mask, arrays
+    packed = put(batch.packed)
+    return batch, objects, obj_mask, packed
 
 
 def device_prefetch(

@@ -186,16 +186,22 @@ class VQATrainer:
             for epoch in range(cfg.epoch_num):
                 start = time.time()
                 try:
-                    total_loss, total_n = 0.0, 0
-                    for j, batch in enumerate(train_loader):
+                    from dfol_vqa_tpu.data.device_prefetch import device_prefetch
+
+                    # per-step losses stay on device; synced once per epoch
+                    # (a per-step host fetch would serialize the pipeline)
+                    loss_acc: List = []
+                    total_n = 0
+                    for j, (batch, objects, obj_mask, packed) in enumerate(
+                        device_prefetch(train_loader, size=2)
+                    ):
                         rng, sub = jax.random.split(rng)
                         fn = self._train_step(batch.spec, batch.meta)
                         params, opt_state, loss, match = fn(
-                            params, opt_state, jnp.asarray(batch.objects),
-                            jnp.asarray(batch.obj_mask), jnp.asarray(batch.packed), sub,
+                            params, opt_state, objects, obj_mask, packed, sub,
                         )
                         n = batch.batch_size
-                        total_loss += float(loss) * n
+                        loss_acc.append((loss, n))
                         total_n += n
                         self.global_step += 1
                         if (
@@ -210,11 +216,11 @@ class VQATrainer:
                                 self._save(best_export_path_base, params)
                             if cfg.verbose:
                                 self.logger.info(
-                                    "Checkpointing: Step %d, Best Err %.5f: error=%s, loss=%.5f",
+                                    "Checkpointing: Step %d, Best Err %.5f: error=%s",
                                     self.global_step, self._best_error,
                                     self._prepare_output_metric_dict(err),
-                                    total_loss / max(total_n, 1),
                                 )
+                    total_loss = sum(float(l) * n for l, n in loss_acc)
                     losses[epoch, rep] = total_loss / max(total_n, 1)
                     if validation_loader is not None:
                         errors[:, epoch, rep] = self.test_epoch(validation_loader, params)
@@ -248,11 +254,12 @@ class VQATrainer:
         throughput isn't bounded by per-batch host round-trips."""
         error = np.zeros(ERROR_DIM, np.float32)
         total = np.zeros(ERROR_DIM, np.float32)
+        from dfol_vqa_tpu.data.device_prefetch import device_prefetch
+
         pending = []
-        for batch in loader:
+        for batch, objects, obj_mask, packed in device_prefetch(loader, size=2):
             out = self._eval_step(batch.spec, batch.meta)(
-                params, jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask),
-                jnp.asarray(batch.packed),
+                params, objects, obj_mask, packed,
             )
             if self._hardset is not None:
                 match = np.asarray(out["match"]) * batch.compiled.question_mask

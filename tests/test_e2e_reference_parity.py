@@ -148,6 +148,30 @@ CASES = {
             "yes",
         ),
     ],
+    "exist_deep": [
+        # 5-hop chain: two relates with interleaved filters
+        question(
+            [[op("select", "person"), op("filter", "small"),
+              op("relate", "holding", True, "ball"), op("filter", "red"),
+              op("relate", "on", False, "dog")]],
+            op("exist"), "yes",
+        ),
+        # different alignment shape in the same batch: consecutive filters
+        question(
+            [[op("select", "car"), op("filter", "red"), op("filter", "large"),
+              op("relate", "to the left of", True, "dog")]],
+            op("exist"), "no",
+        ),
+        question([[op("select", "ball")]], op("exist"), "yes"),
+    ],
+    "exist_negation": [
+        question([[op("select", "car"), op("filter", "not(red)")]], op("exist"), "yes"),
+        question(
+            [[op("select", "person"), op("relate", "not(holding)", True, "ball")]],
+            op("exist"), "no",
+        ),
+        question([[op("select", "dog"), op("filter", "not(large)")]], op("exist"), "yes"),
+    ],
     "verify_attrs": [
         question([[op("select", "car")]], op("verify_attrs", ["red", "large"]), "yes"),
         question([[op("select", "dog")]], op("verify_attrs", ["small"]), "no"),

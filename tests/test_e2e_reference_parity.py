@@ -197,6 +197,11 @@ CASES = {
             op("choose_rel", ["to the left of", "on"], True, "person"),
             "on",
         ),
+        question(
+            [[op("select", "dog")]],
+            op("choose_rel", ["holding", "on"], False, "_"),  # blank aux select
+            "holding",
+        ),
     ],
     "and": [
         question(

@@ -126,3 +126,31 @@ def test_profiling_utils(tmp_path):
                 pass
     assert t.steps == 3
     assert np.isfinite(t.mean()) and np.isfinite(t.median())
+
+
+def test_run_accepts_config_dict(tiny_setup):
+    """base_experiment.py:43-44: configs may be passed programmatically."""
+    import yaml
+    from dfol_vqa_tpu.experiments.experiment import GQAObjectBoxExperiment
+
+    root, cfg_path = tiny_setup
+    cfg = yaml.safe_load(open(cfg_path))
+    cfg["version"] = "t_dict"
+    cfg["epoch_num"] = 1
+    result = GQAObjectBoxExperiment().run(cfg, is_training=False, seed=0)
+    assert result["test_error"] is not None
+    # per-op buckets populated for both terminal families in the test dir
+    from dfol_vqa_tpu.train.trainer import OP_INDEX
+
+    err = result["test_error"]
+    assert np.isfinite(err[OP_INDEX["exist"]])
+    assert np.isfinite(err[OP_INDEX["query_attr"]])
+
+
+def test_profile_trace_smoke(tmp_path):
+    import jax
+    from dfol_vqa_tpu.utils.profiling import profile_trace
+
+    with profile_trace(str(tmp_path / "prof")):
+        jax.block_until_ready(jax.numpy.ones((8, 8)) @ jax.numpy.ones((8, 8)))
+    assert any((tmp_path / "prof").rglob("*"))

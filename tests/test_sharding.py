@@ -115,3 +115,49 @@ def test_host_sharded_loader_partitions_data(ontology):
             for q in batch[: 4 - n_pad]:
                 seen.add(q["question_id"])
     assert len(seen) == 40  # full cover, no overlap
+
+
+def test_two_d_mesh_inserts_collectives(ontology):
+    """The (data, model) sharded step must actually communicate: its
+    optimized HLO contains cross-device collectives (gradient psum over the
+    data axis / vocab-shard exchanges on the model axis)."""
+    import optax
+
+    cfg, interp, params, batch, arrays = _setup(ontology)
+    tx = build_optimizer(cfg, params)
+    mesh = make_mesh((4, 2), ("data", "model"))
+
+    def step(params, opt_state, objects, obj_mask, arrays, rng):
+        def loss_fn(p):
+            out = interp.forward(p, objects, obj_mask, arrays, batch.spec, True, rng)
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    with mesh:
+        params_s = shard_params(mesh, params)
+        opt_state_s = tx.init(params_s)
+        obj, mask, arrays_s = shard_batch(
+            mesh, jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask), arrays
+        )
+        lowered = jax.jit(step).lower(
+            params_s, opt_state_s, obj, mask, arrays_s, jax.random.PRNGKey(0)
+        )
+        hlo = lowered.compile().as_text()
+    assert ("all-reduce" in hlo) or ("all-gather" in hlo) or ("reduce-scatter" in hlo), (
+        "no collectives in the sharded step HLO"
+    )
+
+
+def test_compiler_rejects_mixed_terminal_batch(ontology):
+    from dfol_vqa_tpu.compiler.program_compiler import ProgramCompiler
+    from dfol_vqa_tpu.data.synthetic import generate_questions
+
+    comp = ProgramCompiler(ontology, object_num=6)
+    qs = generate_questions(ontology, 2, terminal="exist", seed=0) + generate_questions(
+        ontology, 2, terminal="query_attr", seed=1
+    )
+    with pytest.raises(AssertionError):
+        comp.compile(qs)

@@ -250,6 +250,28 @@ class ProgramCompiler:
             )
         if terminal in SUPERVISION_OPS:
             return self._compile_supervision(questions, terminal, keep_original)
+        if terminal in ("select", "filter", "relate"):
+            # non-terminal last op: fold it into the branch and auto-append
+            # `end` (the reference interpreter does this at runtime,
+            # batch_gqa_interpreter.py:75-77)
+            new_qs = []
+            for q in questions:
+                q = dict(q)
+                prog = {
+                    "branches": [list(b) for b in q["program"]["branches"]],
+                    "last_op": {"operator": "end", "arguments": []},
+                }
+                last = q["program"]["last_op"]
+                if last["operator"] == "select" or not prog["branches"]:
+                    prog["branches"].append([dict(last)] if last["operator"] == "select"
+                                            else [{"operator": "select", "arguments": ["_"]},
+                                                  dict(last)])
+                else:
+                    prog["branches"][0] = prog["branches"][0] + [dict(last)]
+                q["program"] = prog
+                new_qs.append(q)
+            questions = new_qs
+            terminal = "end"
         n_branch = 2 if terminal in TWO_BRANCH_OPS else 1
 
         branches = [q["program"]["branches"] for q in questions]

@@ -304,4 +304,9 @@ def compute_modulations(calib, interp, world, arrays, spec: BucketSpec) -> Dict[
     for b, grid in enumerate(spec.grid):
         slots.append(_backward_branch(ctx, b, grid, bcarries[b], fwds[b]))
 
+    if not getattr(interp.cfg, "apply_modulation_everywhere", True):
+        # reference 'n'-suffix mechanism: only the LAST op's modulations are
+        # applied; both LSTM passes still run
+        slots = [[None for _ in g] for g in spec.grid]
+
     return {"slots": slots, "terminal": terminal}

@@ -152,3 +152,60 @@ def test_query_accuracy_uses_substring_rule(ontology):
     # but NOT an exact match -> no loss target
     assert cb.answer_opt[0, 0] == 0.0
     assert cb.answer_opt[0, 1] == 0.0
+
+
+def test_nonterminal_last_op_auto_end(ontology):
+    """Programs ending in filter get an auto-appended `end`
+    (batch_gqa_interpreter.py:75-77)."""
+    from dfol_vqa_tpu.compiler.program_compiler import ProgramCompiler
+    from tests.helpers import static_world
+
+    cfg = Config(normalize_oracle=False)
+    cfg.tpu.max_object_num = 4
+    compiler = ProgramCompiler(ontology, object_num=4)
+    q = question([[op("select", "car")]], op("filter", "red"))
+    spec, cb = compiler.compile([q])
+    assert spec.terminal_op == "end"
+    p_car = np.array([0.9, 0.0, 0.0, 0.0], np.float32)
+    p_red = np.array([0.5, 0.0, 0.0, 0.0], np.float32)
+    world = static_world(
+        ontology,
+        [{"car": np.log(np.clip(p_car, 1e-20, 1)), "red": np.log(np.clip(p_red, 1e-20, 1))}],
+        [{}], counts=[1], O=4, rel_tokens=cb.rel_tokens,
+    )
+    arrays = {k: jnp.asarray(v) for k, v in batch_arrays(cb).items()}
+    out = Interpreter(cfg, ontology).execute(None, world, arrays, spec, False)
+    np.testing.assert_allclose(np.exp(out["log_probability"]), [0.45], rtol=1e-4)
+
+
+def test_apply_modulation_everywhere_false(ontology):
+    """Only the terminal op's modulations are applied; branch-slot mods off
+    (reference 'n'-suffix mechanism)."""
+    from dfol_vqa_tpu.data.synthetic import generate_questions
+
+    cfg_on = tiny_cfg(dropout=0.0, activate_attention_transfer=True)
+    cfg_off = tiny_cfg(dropout=0.0, activate_attention_transfer=True,
+                       apply_modulation_everywhere=False)
+    i_on, i_off = Interpreter(cfg_on, ontology), Interpreter(cfg_off, ontology)
+    params = i_on.init_params(jax.random.PRNGKey(0))
+    import jax as _jax
+
+    params["calibrator"]["out"]["w"] = (
+        _jax.random.normal(_jax.random.PRNGKey(3),
+                           params["calibrator"]["out"]["w"].shape) * 0.5
+    )
+    qs = generate_questions(ontology, 4, terminal="exist", length=2, seed=77)
+    loader = make_loader(ontology, cfg_on, qs, batch_size=4, shuffle=False)
+    b = next(iter(loader))
+    arrays = {k: jnp.asarray(v) for k, v in b.arrays.items()}
+    obj, mask = jnp.asarray(b.objects), jnp.asarray(b.obj_mask)
+    o_on = i_on.forward(params, obj, mask, arrays, b.spec, False, None)
+    o_off = i_off.forward(params, obj, mask, arrays, b.spec, False, None)
+    o_none = i_on.forward(params, obj, mask, arrays, b.spec, False, None,
+                          modulator_switch=False)
+    # exist terminal has no terminal mods -> 'off' equals no-modulator,
+    # and differs from full modulation
+    np.testing.assert_array_equal(np.asarray(o_off["log_probability"]),
+                                  np.asarray(o_none["log_probability"]))
+    assert not np.allclose(np.asarray(o_on["log_probability"]),
+                           np.asarray(o_off["log_probability"]))

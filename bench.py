@@ -97,36 +97,46 @@ def measure(hops: int, transfer_dtype: str = "bfloat16") -> float:
     interp, batches = build_batches(hops)
     params = jax.device_put(interp.init_params(jax.random.PRNGKey(0)))
 
-    host_batches = []
+    # group same-signature batches into stacked chunks: one device dispatch
+    # per chunk (lax.scan inside) amortizes the per-dispatch RPC round-trip
+    groups = {}
     for spec, obj, mask, arrays, meta, packed in batches:
         if transfer_dtype == "bfloat16":
             obj = obj.astype(bf16)
-        host_batches.append((spec, obj, mask, meta, packed))
+        groups.setdefault((spec, meta, obj.shape), []).append((obj, mask, packed))
 
+    chunks = []
     step_fns = {}
-    for spec, obj, mask, meta, packed in host_batches:
-        if (spec, meta) not in step_fns:
-            step_fns[(spec, meta)] = interp.step_packed(spec, meta, is_training=False)
+    for (spec, meta, _), items in groups.items():
+        objs = np.stack([x[0] for x in items])
+        masks = np.stack([x[1] for x in items])
+        packs = np.stack([x[2] for x in items])
+        chunks.append((spec, meta, len(items), objs, masks, packs))
+        key = (spec, meta, len(items))
+        if key not in step_fns:
+            step_fns[key] = interp.step_packed_many(spec, meta, is_training=False)
 
     # compile
-    for spec, obj, mask, meta, packed in host_batches:
-        out = step_fns[(spec, meta)](params, jax.device_put(obj), jax.device_put(mask),
-                                     jax.device_put(packed), None)
+    for spec, meta, n, objs, masks, packs in chunks:
+        out = step_fns[(spec, meta, n)](
+            params, jax.device_put(objs), jax.device_put(masks), jax.device_put(packs)
+        )
     jax.block_until_ready(out["log_probability"])
 
     import queue
     import threading
 
-    n_stream = STEADY_ITERS * len(host_batches)
+    n_stream = STEADY_ITERS * len(chunks)
+    n_questions = STEADY_ITERS * sum(c[2] for c in chunks) * BATCH
     N_PRODUCERS = 4  # concurrent device_puts overlap their RPC round-trips
 
     qs = [queue.Queue(maxsize=3) for _ in range(N_PRODUCERS)]
 
     def producer(k):
         for i in range(k, n_stream, N_PRODUCERS):
-            spec, obj, mask, meta, packed = host_batches[i % len(host_batches)]
-            qs[k].put((spec, meta, jax.device_put(obj), jax.device_put(mask),
-                       jax.device_put(packed)))
+            spec, meta, n, objs, masks, packs = chunks[i % len(chunks)]
+            qs[k].put((spec, meta, n, jax.device_put(objs), jax.device_put(masks),
+                       jax.device_put(packs)))
         qs[k].put(None)
 
     threads = [threading.Thread(target=producer, args=(k,), daemon=True)
@@ -146,13 +156,13 @@ def measure(hops: int, transfer_dtype: str = "bfloat16") -> float:
         if item is None:
             alive.discard(k)
             continue
-        spec, meta, obj, mask, packed = item
-        out = step_fns[(spec, meta)](params, obj, mask, packed, None)
+        spec, meta, n, objs, masks, packs = item
+        out = step_fns[(spec, meta, n)](params, objs, masks, packs)
     jax.block_until_ready(out["log_probability"])
     dt = time.time() - t0
     for t in threads:
         t.join()
-    return BATCH * n_stream / dt
+    return n_questions / dt
 
 
 def measure_train(hops: int = 2, batch: int = 80) -> float:

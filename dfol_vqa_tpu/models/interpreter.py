@@ -789,6 +789,31 @@ class Interpreter:
             self._step_cache[key] = fn
         return self._step_cache[key]
 
+    def step_packed_many(self, spec: BucketSpec, meta, is_training: bool):
+        """Jitted scan over N stacked same-spec batches in ONE dispatch.
+
+        Remote TPU frontends pay an RPC round-trip per dispatch; scanning a
+        chunk of batches amortizes it (inputs stacked on a leading N axis:
+        objects (N, U, O, D), obj_mask (N, U, O), packed (N, P))."""
+        from dfol_vqa_tpu.compiler.program_compiler import unpack_arrays
+
+        key = (spec, meta, is_training, "many")
+        if key not in self._step_cache:
+
+            @jax.jit
+            def fn(params, objects, obj_mask, packed):
+                def body(carry, xs):
+                    o, m, p = xs
+                    arrays = unpack_arrays(p, meta)
+                    out = self.forward(params, o, m, arrays, spec, is_training, None)
+                    return carry, (out["log_probability"], out["match"])
+
+                _, (lp, match) = jax.lax.scan(body, None, (objects, obj_mask, packed))
+                return {"log_probability": lp, "match": match}
+
+            self._step_cache[key] = fn
+        return self._step_cache[key]
+
     def step_packed(self, spec: BucketSpec, meta, is_training: bool):
         """Jitted forward taking the single packed program buffer."""
         from dfol_vqa_tpu.compiler.program_compiler import unpack_arrays

@@ -68,6 +68,16 @@ def spec_needs_relations(spec: BucketSpec) -> bool:
 # ------------------------------------------------------------------- gathers
 
 
+def _apply_negation_exact(ll: jnp.ndarray, neg: jnp.ndarray) -> jnp.ndarray:
+    """Reference negation semantics (batch_base_ops.py:212-213): when ANY
+    token in the op call is negated, lpn(ll, is_neg, 1) is applied to every
+    row — an exp/log roundtrip for the non-negated ones too; with no
+    negation present, no transform at all."""
+    shaped = neg.reshape(neg.shape + (1,) * (ll.ndim - neg.ndim))
+    any_neg = jnp.max(neg) > 0
+    return jnp.where(any_neg, logic.log_parametric_not(ll, shaped, 1.0), ll)
+
+
 def _gather_attr(world: World, tok: jnp.ndarray) -> jnp.ndarray:
     """attr_ll (U, O, V+1) + img_index, tok (B,) signed -> (B, O), negation
     applied (batch_base_ops.py:212-213). One fused gather — the per-unique
@@ -75,7 +85,7 @@ def _gather_attr(world: World, tok: jnp.ndarray) -> jnp.ndarray:
     O = world.attr_ll.shape[1]
     o_iota = jnp.arange(O, dtype=jnp.int32)
     ll = world.attr_ll[world.img_index[:, None], o_iota[None, :], jnp.abs(tok)[:, None]]
-    return jnp.where((tok < 0)[:, None], logic.log_parametric_not(ll, 1.0, 1.0), ll)
+    return _apply_negation_exact(ll, (tok < 0).astype(ll.dtype))
 
 
 def _gather_attr_options(world: World, toks: jnp.ndarray) -> jnp.ndarray:
@@ -89,15 +99,13 @@ def _gather_attr_options(world: World, toks: jnp.ndarray) -> jnp.ndarray:
 
 
 def _apply_option_negation(ll: jnp.ndarray, toks: jnp.ndarray) -> jnp.ndarray:
-    neg = (toks < 0).astype(ll.dtype)
-    neg = neg.reshape(neg.shape + (1,) * (ll.ndim - neg.ndim))
-    return jnp.where(neg > 0, logic.log_parametric_not(ll, 1.0, 1.0), ll)
+    return _apply_negation_exact(ll, (toks < 0).astype(ll.dtype))
 
 
 def _gather_rel(rel_ll: jnp.ndarray, idx: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
     """rel_ll (B, O, O, R), idx (B,), tok (B,) signed -> (B, O, O)."""
     ll = jnp.take_along_axis(rel_ll, idx[:, None, None, None], axis=3)[..., 0]
-    return jnp.where((tok < 0)[:, None, None], logic.log_parametric_not(ll, 1.0, 1.0), ll)
+    return _apply_negation_exact(ll, (tok < 0).astype(ll.dtype))
 
 
 def _gather_rel_options(rel_ll: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

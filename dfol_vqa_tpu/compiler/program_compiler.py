@@ -134,6 +134,7 @@ class CompiledBatch:
     question_ids: List[Optional[str]] = field(default_factory=list)
     answers: List[Optional[str]] = field(default_factory=list)
     option_strings: List[List[str]] = field(default_factory=list)
+    names: List[List[str]] = field(default_factory=list)  # tracked per branch
     questions: List[Optional[str]] = field(default_factory=list)
     original: Optional[List[dict]] = None
 
@@ -461,6 +462,7 @@ class ProgramCompiler:
             question_ids=[q.get("question_id") for q in questions],
             answers=answers,
             option_strings=[[str(o) for o in ol] for ol in option_lists],
+            names=names,
             questions=[q.get("question") for q in questions],
             original=questions if keep_original else None,
         )

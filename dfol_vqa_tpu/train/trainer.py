@@ -141,6 +141,11 @@ class VQATrainer:
             if qtype == QuestionType.QUERY:
                 opts = batch.compiled.option_strings[qi]
                 answers.append([opts[k] for k in range(len(opts)) if flags[qi, k]])
+            elif qtype == QuestionType.STATEMENT:
+                # end terminal answers with the set's tracked name
+                # (batch_gqa_ops.py:776-778)
+                names = batch.compiled.names[qi] if batch.compiled.names else ["entity"]
+                answers.append([names[0]])
             else:
                 answers.append(["yes"] if flags[qi, 0] else ["no"])
         return answers

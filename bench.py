@@ -220,12 +220,18 @@ def main():
     # frontends is noisy and throughput here is transfer-bound
     qps_1hop = float(np.median([measure(hops=2) for _ in range(3)]))
     qps_3hop = float(np.median([measure(hops=4) for _ in range(3)]))
-    global BATCH
+    global BATCH, O_PAD, MIN_OBJ, MAX_OBJ
     BATCH = 256
     try:
         qps_large = measure(hops=4)
     finally:
         BATCH = 32
+    # GQA worst-case object padding (detections go up to 100/image)
+    O_PAD, MIN_OBJ, MAX_OBJ = 100, 30, 100
+    try:
+        qps_full_o = measure(hops=4)
+    finally:
+        O_PAD, MIN_OBJ, MAX_OBJ = 24, 8, 24
     train_qps = measure_train(hops=2, batch=80)
 
     base_1 = baseline["exist_1hop"]["questions_per_sec"] if baseline else None
@@ -241,6 +247,7 @@ def main():
             "exist_3hop_relational_vs_baseline": round(qps_3hop / base_3, 2) if base_3 else None,
             "train_step_qps_batch80": round(train_qps, 2),
             "exist_3hop_batch256_qps": round(qps_large, 2),
+            "exist_3hop_O100_qps": round(qps_full_o, 2),
             "baseline_source": "BASELINE_MEASURED.json (reference PyTorch CPU)",
         },
     }

@@ -1,0 +1,1 @@
+"""AOT program compilation, preprocessing, codecs and validation."""

@@ -1,0 +1,1 @@
+"""Datasets, feature sources, batching and device transfer pipelines."""

@@ -1,0 +1,1 @@
+"""Experiment runners and the CLI entry point."""

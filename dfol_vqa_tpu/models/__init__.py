@@ -1,0 +1,1 @@
+"""Neural modules: featurizer, oracle, calibrator, program executor."""

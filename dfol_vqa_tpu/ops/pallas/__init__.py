@@ -1,0 +1,1 @@
+"""Pallas (Mosaic) TPU kernels for the hot oracle paths."""

@@ -1,0 +1,1 @@
+"""Device-mesh parallelism: shardings, collectives, multi-host."""

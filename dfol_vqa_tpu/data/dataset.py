@@ -156,6 +156,48 @@ class GQADataManager:
         return sum(len(d) for d in self.datasets)
 
 
+def iter_index_batches(
+    datasets: Sequence[ProgramDataset],
+    batch_size: int,
+    *,
+    shuffle: bool,
+    seed: int = 0,
+    drop_last: bool = False,
+    num_shards: int = 1,
+    shard_index: int = 0,
+):
+    """Yield (dataset_index, row_indices) with the same sampling policy as
+    iter_batches (the MultiSetSampler invariants), without materialising the
+    question dicts — used by the precompiled fast path."""
+    rng = np.random.default_rng(seed)
+    orders = []
+    for ds in datasets:
+        idx = np.arange(len(ds))
+        if shuffle:
+            rng.shuffle(idx)
+        idx = idx[shard_index::num_shards]
+        orders.append(list(idx))
+    cursors = [0] * len(datasets)
+
+    def remaining(i):
+        return len(orders[i]) - cursors[i]
+
+    while True:
+        rem = np.array([remaining(i) for i in range(len(datasets))], np.float64)
+        if rem.sum() <= 0:
+            break
+        if shuffle:
+            di = int(rng.choice(len(datasets), p=rem / rem.sum()))
+        else:
+            di = int(np.argmax(rem > 0))
+        take = min(batch_size, remaining(di))
+        sel = orders[di][cursors[di] : cursors[di] + take]
+        cursors[di] += take
+        if take < batch_size and drop_last:
+            continue
+        yield di, sel
+
+
 def iter_batches(
     datasets: Sequence[ProgramDataset],
     batch_size: int,

@@ -85,9 +85,12 @@ class VQATrainer:
                 from dfol_vqa_tpu.compiler.program_compiler import unpack_arrays
 
                 arrays = unpack_arrays(arrays, meta)
+            # derive this step's key and the next carry INSIDE jit: a host-side
+            # split would cost an extra device round-trip per step
+            rng, sub = jax.random.split(rng)
 
             def loss_fn(p):
-                out = interp.forward(p, objects, obj_mask, arrays, spec, True, rng)
+                out = interp.forward(p, objects, obj_mask, arrays, spec, True, sub)
                 n = jnp.maximum(jnp.sum(arrays["question_mask"]), 1.0)
                 return out["loss"] / n, out
 
@@ -96,7 +99,7 @@ class VQATrainer:
             import optax
 
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, out["match"]
+            return params, opt_state, loss, out["match"], rng
 
         fn = jax.jit(step, donate_argnums=(0, 1))
         if self._mesh is not None:
@@ -200,10 +203,9 @@ class VQATrainer:
                     for j, (batch, objects, obj_mask, packed) in enumerate(
                         device_prefetch(train_loader, size=2)
                     ):
-                        rng, sub = jax.random.split(rng)
                         fn = self._train_step(batch.spec, batch.meta)
-                        params, opt_state, loss, match = fn(
-                            params, opt_state, objects, obj_mask, packed, sub,
+                        params, opt_state, loss, match, rng = fn(
+                            params, opt_state, objects, obj_mask, packed, rng,
                         )
                         n = batch.batch_size
                         loss_acc.append((loss, n))

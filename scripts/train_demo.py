@@ -75,19 +75,19 @@ def main():
         err = trainer.test_epoch(loader(test_qs, False), params)
         return 1.0 - err[0]
 
+    from dfol_vqa_tpu.data.device_prefetch import device_prefetch
+
     print(f"initial accuracy: {accuracy(params):.3f} (chance = 0.5)")
     t0 = time.time()
     step = 0
     rng = jax.random.PRNGKey(0)
     while step < args.steps:
-        for batch in loader(train_qs, True):
+        for batch, objects, obj_mask, packed in device_prefetch(loader(train_qs, True), size=2):
             if step >= args.steps:
                 break
-            rng, sub = jax.random.split(rng)
-            fn = trainer._train_step(batch.spec)
-            params, opt_state, loss, match = fn(
-                params, opt_state, jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask),
-                {k: jnp.asarray(v) for k, v in batch.arrays.items()}, sub,
+            fn = trainer._train_step(batch.spec, batch.meta)
+            params, opt_state, loss, match, rng = fn(
+                params, opt_state, objects, obj_mask, packed, rng,
             )
             step += 1
             if step % 100 == 0:
@@ -121,15 +121,14 @@ def main():
 
         print(f"calibration start accuracy (identity modulator): {accuracy_c(params_c):.3f}")
         step = 0
+        rng_c = jax.random.PRNGKey(2)
         while step < args.calibration_steps:
-            for batch in loader(train_qs, True):
+            for batch, objects, obj_mask, packed in device_prefetch(loader(train_qs, True), size=2):
                 if step >= args.calibration_steps:
                     break
-                rng2 = jax.random.fold_in(jax.random.PRNGKey(2), step)
                 fn = trainer_c._train_step(batch.spec, batch.meta)
-                params_c, opt_state_c, loss, _ = fn(
-                    params_c, opt_state_c, jnp.asarray(batch.objects),
-                    jnp.asarray(batch.obj_mask), jnp.asarray(batch.packed), rng2,
+                params_c, opt_state_c, loss, _, rng_c = fn(
+                    params_c, opt_state_c, objects, obj_mask, packed, rng_c,
                 )
                 step += 1
         acc_c = accuracy_c(params_c)

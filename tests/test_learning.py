@@ -53,11 +53,10 @@ def test_learns_planted_concepts_from_answers(ontology):
         for batch in loader(train_qs, True):
             if step >= 240:
                 break
-            rng, sub = jax.random.split(rng)
             fn = trainer._train_step(batch.spec)
-            params, opt_state, loss, _ = fn(
+            params, opt_state, loss, _, rng = fn(
                 params, opt_state, jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask),
-                {k: jnp.asarray(v) for k, v in batch.arrays.items()}, sub,
+                {k: jnp.asarray(v) for k, v in batch.arrays.items()}, rng,
             )
             step += 1
     err = trainer.test_epoch(loader(test_qs, False), params)

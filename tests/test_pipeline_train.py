@@ -123,7 +123,7 @@ def test_training_reduces_loss_on_learnable_task(ontology):
     fn = trainer._train_step(batch.spec)
     losses = []
     for i in range(30):
-        params, opt_state, loss, _ = fn(
+        params, opt_state, loss, _, _rng = fn(
             params, opt_state, jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask),
             arrays, jax.random.PRNGKey(i),
         )
@@ -148,7 +148,7 @@ def test_freeze_flags_keep_params_fixed(ontology):
     arrays = {k: jnp.asarray(v) for k, v in batch.arrays.items()}
     fn = trainer._train_step(batch.spec)
     for i in range(3):
-        params, opt_state, loss, _ = fn(
+        params, opt_state, loss, _, _rng = fn(
             params, opt_state, jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask),
             arrays, jax.random.PRNGKey(i),
         )

@@ -98,7 +98,7 @@ def test_trainer_loop_with_supervision(ontology):
     batch = build(ontology, cfg, "scene")
     fn = trainer._train_step(batch.spec)
     arrays = {k: jnp.asarray(v) for k, v in batch.arrays.items()}
-    params, opt_state, loss, match = fn(
+    params, opt_state, loss, match, _rng = fn(
         params, opt_state, jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask),
         arrays, jax.random.PRNGKey(0),
     )

@@ -34,6 +34,8 @@ class TPUConfig:
     # over the model mesh axis; padded columns are never addressed (codes
     # are 1..2335)
     use_pallas: bool = False  # fused Pallas relation-oracle kernel
+    train_chunk: int = 1  # same-bucket train steps fused into one device
+    # dispatch (lax.scan); amortizes per-dispatch RPC on remote frontends
     rel_block_size: int = 0  # 0 = no chunking of the O^2 relation pass
     donate_state: bool = True
 

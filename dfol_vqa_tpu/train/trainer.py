@@ -109,6 +109,43 @@ class VQATrainer:
         self._train_cache[key] = fn
         return fn
 
+    def _train_step_chunk(self, spec: BucketSpec, meta, k: int):
+        """k same-bucket training steps in ONE dispatch via lax.scan
+        (cfg.tpu.train_chunk); carries (params, opt_state, rng)."""
+        key = (spec, meta, k, "chunk")
+        if key in self._train_cache:
+            return self._train_cache[key]
+        interp = self.interp
+
+        def step(params, opt_state, objects, obj_mask, packed, rng):
+            from dfol_vqa_tpu.compiler.program_compiler import unpack_arrays
+            import optax
+
+            def body(carry, xs):
+                params, opt_state, rng = carry
+                o, m, p = xs
+                arrays = unpack_arrays(p, meta)
+                rng, sub = jax.random.split(rng)
+
+                def loss_fn(pp):
+                    out = interp.forward(pp, o, m, arrays, spec, True, sub)
+                    n = jnp.maximum(jnp.sum(arrays["question_mask"]), 1.0)
+                    return out["loss"] / n, out
+
+                (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, opt_state = self._tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, rng), (loss, out["match"])
+
+            (params, opt_state, rng), (losses, matches) = jax.lax.scan(
+                body, (params, opt_state, rng), (objects, obj_mask, packed)
+            )
+            return params, opt_state, losses, matches, rng
+
+        fn = jax.jit(step, donate_argnums=(0, 1))
+        self._train_cache[key] = fn
+        return fn
+
     def _eval_step(self, spec: BucketSpec, meta=None):
         key = (spec, meta)
         if key in self._eval_cache:
@@ -200,21 +237,65 @@ class VQATrainer:
                     # (a per-step host fetch would serialize the pipeline)
                     loss_acc: List = []
                     total_n = 0
+                    chunk = max(1, cfg.tpu.train_chunk)
+                    pending_chunk: List = []
+
+                    def flush_chunk():
+                        nonlocal params, opt_state, rng, total_n
+                        if not pending_chunk:
+                            return
+                        if len(pending_chunk) == 1 or chunk == 1:
+                            for batch, o, m, p in pending_chunk:
+                                fn = self._train_step(batch.spec, batch.meta)
+                                params, opt_state, loss, match, rng = fn(
+                                    params, opt_state, o, m, p, rng
+                                )
+                                loss_acc.append((loss, batch.batch_size))
+                                total_n += batch.batch_size
+                                self.global_step += 1
+                        else:
+                            b0 = pending_chunk[0][0]
+                            objs = jnp.stack([x[1] for x in pending_chunk])
+                            masks = jnp.stack([x[2] for x in pending_chunk])
+                            packs = jnp.stack([x[3] for x in pending_chunk])
+                            fn = self._train_step_chunk(
+                                b0.spec, b0.meta, len(pending_chunk)
+                            )
+                            params, opt_state, losses_d, matches_d, rng = fn(
+                                params, opt_state, objs, masks, packs, rng
+                            )
+                            for i, (batch, *_rest) in enumerate(pending_chunk):
+                                loss_acc.append((losses_d[i], batch.batch_size))
+                                total_n += batch.batch_size
+                                self.global_step += 1
+                        pending_chunk.clear()
+
                     for j, (batch, objects, obj_mask, packed) in enumerate(
                         device_prefetch(train_loader, size=2)
                     ):
-                        fn = self._train_step(batch.spec, batch.meta)
-                        params, opt_state, loss, match, rng = fn(
-                            params, opt_state, objects, obj_mask, packed, rng,
-                        )
-                        n = batch.batch_size
-                        loss_acc.append((loss, n))
-                        total_n += n
-                        self.global_step += 1
+                        if chunk > 1:
+                            if pending_chunk and (
+                                pending_chunk[0][0].spec != batch.spec
+                                or pending_chunk[0][0].meta != batch.meta
+                                or pending_chunk[0][1].shape != objects.shape
+                            ):
+                                flush_chunk()
+                            pending_chunk.append((batch, objects, obj_mask, packed))
+                            if len(pending_chunk) >= chunk:
+                                flush_chunk()
+                        else:
+                            fn = self._train_step(batch.spec, batch.meta)
+                            params, opt_state, loss, match, rng = fn(
+                                params, opt_state, objects, obj_mask, packed, rng,
+                            )
+                            loss_acc.append((loss, batch.batch_size))
+                            total_n += batch.batch_size
+                            self.global_step += 1
                         if (
                             validation_loader is not None
                             and (j + 1) % cfg.checkpointing_frequency == 0
                         ):
+                            flush_chunk()
                             err = self.test_epoch(validation_loader, params)
                             if last_export_path_base:
                                 self._save(last_export_path_base, params)
@@ -227,6 +308,8 @@ class VQATrainer:
                                     self.global_step, self._best_error,
                                     self._prepare_output_metric_dict(err),
                                 )
+                    if cfg.tpu.train_chunk > 1:
+                        flush_chunk()
                     total_loss = sum(float(l) * n for l, n in loss_acc)
                     losses[epoch, rep] = total_loss / max(total_n, 1)
                     if validation_loader is not None:

@@ -277,3 +277,26 @@ def test_predict_submission_mode(ontology, tmp_path):
     assert len(data) == 6
     assert set(data[0].keys()) == {"questionId", "prediction"}
     assert isinstance(data[0]["prediction"], str)
+
+
+def test_chunked_training_matches_per_step(ontology):
+    """cfg.tpu.train_chunk scans k same-bucket steps per dispatch with
+    identical parameter trajectories."""
+
+    def run(chunk):
+        cfg = tiny_cfg(dropout=0.0, learning_rate=1e-3)
+        cfg.tpu.train_chunk = chunk
+        interp = Interpreter(cfg, ontology)
+        params = interp.init_params(jax.random.PRNGKey(0))
+        qs = generate_questions(ontology, 32, terminal="exist", length=2, seed=5)
+        loader = make_loader(ontology, cfg, qs, batch_size=8, shuffle=False)
+        trainer = VQATrainer(cfg, interp)
+        params, errors, losses = trainer.train(loader, None, params)
+        return params, losses, trainer.global_step
+
+    p1, l1, s1 = run(1)
+    p2, l2, s2 = run(4)
+    assert s1 == s2 == 4
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

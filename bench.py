@@ -232,7 +232,7 @@ def main():
         qps_full_o = measure(hops=4)
     finally:
         O_PAD, MIN_OBJ, MAX_OBJ = 24, 8, 24
-    train_qps = measure_train(hops=2, batch=80)
+    train_qps = float(np.median([measure_train(hops=2, batch=80) for _ in range(2)]))
 
     base_1 = baseline["exist_1hop"]["questions_per_sec"] if baseline else None
     base_3 = baseline["exist_3hop_relational"]["questions_per_sec"] if baseline else None

@@ -104,8 +104,11 @@ def visualize_loop(trainer, interp, loader, params, image_path: Optional[str],
         all_traces.extend(entries)
         if image_path and os.path.isdir(image_path):
             box_dim = batch.objects.shape[-1] - 6
+            img_index = batch.arrays.get("img_index")
             for qi, entry in enumerate(entries):
-                bboxes = batch.objects[qi, :, box_dim + 2 :]
+                # objects are stored per UNIQUE image; map question -> row
+                row = int(img_index[qi]) if img_index is not None else qi
+                bboxes = batch.objects[row, :, box_dim + 2 :]
                 render_question(
                     image_path, entry["image_id"], bboxes,
                     [h["attention"] for h in entry["hops"]],

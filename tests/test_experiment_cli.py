@@ -154,3 +154,42 @@ def test_profile_trace_smoke(tmp_path):
     with profile_trace(str(tmp_path / "prof")):
         jax.block_until_ready(jax.numpy.ones((8, 8)) @ jax.numpy.ones((8, 8)))
     assert any((tmp_path / "prof").rglob("*"))
+
+
+def test_visualize_image_render_uses_unique_image_rows(tmp_path, ontology):
+    """Image overlays must look up bboxes via img_index: scenes are stored
+    per UNIQUE image after dedup, so question-index addressing is wrong."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax
+
+    from dfol_vqa_tpu.data.synthetic import generate_questions
+    from dfol_vqa_tpu.models.interpreter import Interpreter
+    from dfol_vqa_tpu.train.trainer import VQATrainer
+    from dfol_vqa_tpu.viz import visualize_loop
+    from tests.test_pipeline_train import make_loader, tiny_cfg
+
+    cfg = tiny_cfg(dropout=0.0)
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    qs = generate_questions(ontology, 4, terminal="exist", length=1, seed=7)
+    for q in qs:  # two questions per image -> dedup leaves U < B
+        q["imageId"] = f"img{int(q['imageId'].lstrip('i')) // 2 if q['imageId'][1:].isdigit() else 0}"
+    qs[1]["imageId"] = qs[0]["imageId"]
+    qs[3]["imageId"] = qs[2]["imageId"]
+    loader = make_loader(ontology, cfg, qs, batch_size=4, shuffle=False)
+    trainer = VQATrainer(cfg, interp)
+    imgs = tmp_path / "images"
+    imgs.mkdir()
+    for q in qs:
+        fig = plt.figure(figsize=(1, 1))
+        plt.imshow(np.zeros((8, 8, 3)))
+        fig.savefig(imgs / f"{q['imageId']}.jpg")
+        plt.close(fig)
+    out = tmp_path / "viz"
+    traces = visualize_loop(trainer, interp, loader, params, str(imgs), None,
+                            out_dir=str(out))
+    assert len(traces) == 4
+    assert len(list(out.glob("*.png"))) == 4

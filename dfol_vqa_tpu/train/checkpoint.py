@@ -55,12 +55,19 @@ def _set_path(tree, path, value) -> bool:
     return False
 
 
-def save(export_path_base: str, name: str, params, global_step: int = 0):
+def save(export_path_base: str, name: str, params, global_step: int = 0,
+         backend: str = "npz"):
     """Write params (+step) to ``export_path_base/name`` (.npz).
 
     Atomic: written to a temp file then renamed, so a crash/preemption
     mid-save never corrupts the previous checkpoint (the reference's
-    try/finally crash-save, trainer.py:638-651, can truncate its file)."""
+    try/finally crash-save, trainer.py:638-651, can truncate its file).
+
+    ``backend='orbax'`` writes an orbax PyTree checkpoint directory instead —
+    the multi-host/async-friendly option for pod-scale runs (each host writes
+    only its addressable shards)."""
+    if backend == "orbax":
+        return _save_orbax(export_path_base, name, params, global_step)
     os.makedirs(export_path_base, exist_ok=True)
     flat = _flatten(jax.device_get(params))
     flat["__global_step__"] = np.asarray(global_step)
@@ -71,6 +78,33 @@ def save(export_path_base: str, name: str, params, global_step: int = 0):
     os.replace(tmp, final)
 
 
+def _save_orbax(export_path_base: str, name: str, params, global_step: int):
+    import orbax.checkpoint as ocp
+
+    os.makedirs(export_path_base, exist_ok=True)
+    path = os.path.abspath(os.path.join(export_path_base, name + ".orbax"))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        # flat string-keyed dict: sidesteps pytree-structure coupling and
+        # keeps strict=False load semantics identical to the npz backend
+        flat = _flatten(jax.device_get(params))
+        flat["__global_step__"] = np.asarray(global_step)
+        ckptr.save(path, flat, force=True)
+
+
+def _load_orbax(path: str, params) -> Tuple[Any, int]:
+    import copy
+
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        flat = ckptr.restore(os.path.abspath(path))
+    step = int(flat.pop("__global_step__", 0))
+    params = copy.deepcopy(params)
+    for key, value in flat.items():
+        _set_path(params, key, np.asarray(value))
+    return params, step
+
+
 def load(import_path_base: str, name: str, params) -> Tuple[Any, int]:
     """Partial restore into a (mutable, dict/list-based) params pytree.
 
@@ -79,6 +113,10 @@ def load(import_path_base: str, name: str, params) -> Tuple[Any, int]:
     path = os.path.join(import_path_base, name)
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path = path + ".npz"
+    if not os.path.exists(path) and os.path.isdir(path + ".orbax"):
+        path = path + ".orbax"
+    if os.path.isdir(path):  # orbax checkpoints are directories
+        return _load_orbax(path, params)
     data = np.load(path, allow_pickle=False)
     step = int(data["__global_step__"]) if "__global_step__" in data else 0
     import copy

@@ -465,7 +465,8 @@ class VQATrainer:
     # ------------------------------------------------------------ checkpoints
 
     def _save(self, export_path_base: str, params):
-        ckpt.save(export_path_base, self.cfg.model_name, params, self.global_step)
+        ckpt.save(export_path_base, self.cfg.model_name, params, self.global_step,
+                  backend=self.cfg.tpu.checkpoint_backend)
 
     def load(self, import_path_base: str, params):
         params, self.global_step = ckpt.load(import_path_base, self.cfg.model_name, params)

@@ -179,6 +179,30 @@ def test_checkpoint_partial_restore(ontology, tmp_path):
     )
 
 
+def test_checkpoint_orbax_backend(ontology, tmp_path):
+    """orbax backend round-trips params + step and keeps strict=False
+    semantics; load() auto-detects the directory format."""
+    cfg = tiny_cfg()
+    interp = Interpreter(cfg, ontology)
+    p1 = interp.init_params(jax.random.PRNGKey(0))
+    ckpt.save(str(tmp_path), "m", p1, global_step=7, backend="orbax")
+    assert (tmp_path / "m.orbax").is_dir()
+
+    cfg2 = tiny_cfg(activate_attention_transfer=True)
+    interp2 = Interpreter(cfg2, ontology)
+    p2 = interp2.init_params(jax.random.PRNGKey(1))
+    calib_before = jax.tree_util.tree_leaves(p2["calibrator"])[0].copy()
+    restored, step = ckpt.load(str(tmp_path), "m", p2)
+    assert step == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored["embedding"]["w"]), np.asarray(p1["embedding"]["w"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(restored["calibrator"])[0]),
+        np.asarray(calib_before),
+    )
+
+
 def test_predict_output_format(ontology, tmp_path):
     cfg = tiny_cfg()
     interp = Interpreter(cfg, ontology)

@@ -35,6 +35,10 @@ class FeatureSource:
     def image(self, image_id: str) -> Tuple[np.ndarray, int]:
         raise NotImplementedError
 
+    def fork_reset(self):
+        """Drop process-shared resources after fork (loader num_workers>0);
+        sources with open file handles must reopen them per process."""
+
     def batch_unique(
         self, image_ids: List[str], O: int, pad_ladder=(4, 8, 16, 32, 64, 128, 256, 512, 1024)
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -83,6 +87,9 @@ class GQAHdf5Features(FeatureSource):
         self._handles: Optional[list] = None
         with h5py.File(join(object_h5_path, f"{file_prefix}_0.h5"), "r") as f:
             _, self.max_object_per_image, self.box_dim = f["features"].shape
+
+    def fork_reset(self):
+        self._handles = None  # h5py handles are not fork-safe; reopen lazily
 
     def _handle(self, chunk_id: int):
         if self._handles is None:

@@ -104,6 +104,7 @@ class BatchLoader:
         prefetch: int = 2,
         keep_original: bool = False,
         precompile: bool = True,
+        num_workers: int = 0,
     ):
         self._datasets = datasets
         self._compiler = compiler
@@ -120,6 +121,11 @@ class BatchLoader:
         # per-epoch choose-option shuffling requires runtime compilation
         self._precompile = precompile and not getattr(compiler, "_shuffle_choose", False)
         self._precompiled = None
+        # multi-process batch production (host-side compile/collate/pack is
+        # GIL-bound; one prefetch thread caps at ~1 core). Workers shard the
+        # deterministic batch sequence i % num_workers == k, so order and
+        # content match the single-process path exactly. Requires fork.
+        self._num_workers = num_workers
 
     def __len__(self) -> int:
         n = sum(len(d) for d in self._datasets)
@@ -134,35 +140,100 @@ class BatchLoader:
         return self._precompiled
 
     def _produce(self) -> Iterator[LoadedBatch]:
+        return self._produce_shard(0, 1)
+
+    def _produce_shard(self, k: int, n: int) -> Iterator[LoadedBatch]:
+        """Batches i with i % n == k of the epoch's deterministic sequence.
+
+        Skipped batches cost only index iteration (no compile/gather), so n
+        workers split the host work ~evenly."""
         seed = self._seed + self._epoch
         if self._precompile:
             pre = self._get_precompiled()
-            for di, indices in iter_index_batches(
+            for i, (di, indices) in enumerate(iter_index_batches(
                 self._datasets, self._batch_size, shuffle=self._shuffle, seed=seed,
                 num_shards=self._num_shards, shard_index=self._shard_index,
-            ):
+            )):
+                if i % n != k:
+                    continue
                 spec, cb = pre[di].gather(indices, self._batch_size)
                 objects, obj_mask, img_index = self._features.batch_unique(
                     cb.image_ids, self._O
                 )
                 yield LoadedBatch(spec, cb, objects, obj_mask, img_index)
             return
-        for questions, n_pad in iter_batches(
+        for i, (questions, n_pad) in enumerate(iter_batches(
             self._datasets,
             self._batch_size,
             shuffle=self._shuffle,
             seed=seed,
             num_shards=self._num_shards,
             shard_index=self._shard_index,
-        ):
+        )):
+            if i % n != k:
+                continue
             spec, cb = self._compiler.compile(questions, keep_original=self._keep_original)
             if n_pad:
                 cb.question_mask[-n_pad:] = 0.0
             objects, obj_mask, img_index = self._features.batch_unique(cb.image_ids, self._O)
             yield LoadedBatch(spec, cb, objects, obj_mask, img_index)
 
+    def _iter_multiprocess(self) -> Iterator[LoadedBatch]:
+        import multiprocessing as mp
+        import os
+
+        ctx = mp.get_context("fork")
+        n = self._num_workers
+        if self._precompile:
+            self._get_precompiled()  # compile ONCE here; workers inherit by fork
+        queues = [ctx.Queue(maxsize=max(1, self._prefetch)) for _ in range(n)]
+
+        def run(k):
+            q = queues[k]
+            try:
+                self._features.fork_reset()  # fresh file handles per process
+                for item in self._produce_shard(k, n):
+                    q.put(item)
+                q.put(None)
+            except BaseException:
+                import traceback
+
+                q.put(("__worker_error__", traceback.format_exc()))
+            finally:
+                q.close()
+                q.join_thread()
+                # skip parent-registered atexit handlers (device clients etc.)
+                os._exit(0)
+
+        procs = [ctx.Process(target=run, args=(k,), daemon=True) for k in range(n)]
+        for p in procs:
+            p.start()
+        done = [False] * n
+        i = 0
+        try:
+            while not all(done):
+                k = i % n
+                i += 1
+                if done[k]:
+                    continue
+                item = queues[k].get()
+                if item is None:
+                    done[k] = True
+                    continue
+                if isinstance(item, tuple) and len(item) == 2 and item[0] == "__worker_error__":
+                    raise RuntimeError(f"loader worker {k} failed:\n{item[1]}")
+                yield item
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join()
+
     def __iter__(self) -> Iterator[LoadedBatch]:
         self._epoch += 1
+        if self._num_workers > 0:
+            yield from self._iter_multiprocess()
+            return
         if self._prefetch <= 0:
             yield from self._produce()
             return

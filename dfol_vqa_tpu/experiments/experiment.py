@@ -58,6 +58,7 @@ class ExperimentBase:
             num_shards=jax.process_count(),
             shard_index=jax.process_index(),
             keep_original=keep_original,
+            num_workers=cfg.tpu.loader_workers,
         )
 
     def run(

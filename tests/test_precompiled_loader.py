@@ -53,3 +53,48 @@ def test_precompile_disabled_for_choose_shuffle(ontology):
     loader = BatchLoader([ProgramDataset(qs, ontology)], comp, feats, 4, 6,
                          shuffle=True, prefetch=0)
     assert loader._precompile is False
+
+
+@pytest.mark.parametrize("precompile", [True, False])
+def test_multiprocess_loader_matches_single(ontology, precompile):
+    """num_workers>0 must reproduce the single-process batch sequence
+    exactly (content and order), for both compile paths."""
+    from dfol_vqa_tpu.data.synthetic import generate_questions as gen
+
+    qs = gen(ontology, 22, terminal="exist", length=2, seed=5)
+    ds = ProgramDataset(qs, ontology)
+    comp = ProgramCompiler(ontology, object_num=6, rel_slots=4)
+    feats = SyntheticFeatures(box_dim=16, min_objects=2, max_objects=6)
+
+    def collect(workers):
+        loader = BatchLoader([ds], comp, feats, 4, 6, shuffle=True, seed=11,
+                             prefetch=2, precompile=precompile,
+                             num_workers=workers)
+        return [
+            (b.spec, b.compiled.question_ids, np.asarray(b.objects).copy(),
+             np.asarray(b.packed).copy()) for b in loader
+        ]
+
+    ref = collect(0)
+    got = collect(3)
+    assert len(ref) == len(got) == 6
+    for (s1, q1, o1, p1), (s2, q2, o2, p2) in zip(ref, got):
+        assert s1 == s2 and q1 == q2
+        np.testing.assert_array_equal(o1, o2)
+        np.testing.assert_array_equal(p1, p2)
+
+
+def test_multiprocess_loader_propagates_worker_error(ontology):
+    qs = generate_questions(ontology, 8, terminal="exist", seed=2)
+    ds = ProgramDataset(qs, ontology)
+    comp = ProgramCompiler(ontology, object_num=6)
+
+    class Boom(SyntheticFeatures):
+        def image(self, image_id):
+            raise ValueError("boom")
+
+    feats = Boom(box_dim=8, min_objects=2, max_objects=6)
+    loader = BatchLoader([ds], comp, feats, 4, 6, shuffle=False, prefetch=1,
+                         num_workers=2)
+    with pytest.raises(RuntimeError, match="loader worker"):
+        list(loader)

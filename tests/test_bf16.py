@@ -1,0 +1,69 @@
+"""bfloat16 compute-dtype numerics: forward agreement with fp32 and
+training stability (TODO.md 'bf16 end-to-end numerics study').
+
+``tpu.compute_dtype`` casts the MXU matmul inputs (oracle attribute head,
+relation-network first layer, Pallas kernel) to bf16 while accumulating in
+fp32 (``preferred_element_type``), the standard TPU recipe. Parameters,
+logic-space values and the optimizer stay fp32.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from dfol_vqa_tpu.data.synthetic import generate_questions
+from dfol_vqa_tpu.models.interpreter import Interpreter
+from dfol_vqa_tpu.train.trainer import VQATrainer
+from dfol_vqa_tpu.train.optim import build_optimizer
+
+from tests.test_pipeline_train import make_loader, tiny_cfg
+
+
+@pytest.mark.parametrize("terminal", ["exist", "query_attr"])
+def test_bf16_forward_close_to_fp32(ontology, terminal):
+    cfg32 = tiny_cfg(dropout=0.0)
+    cfg16 = tiny_cfg(dropout=0.0)
+    cfg16.tpu.compute_dtype = "bfloat16"
+    i32 = Interpreter(cfg32, ontology)
+    i16 = Interpreter(cfg16, ontology)
+    params = i32.init_params(jax.random.PRNGKey(0))
+    qs = generate_questions(ontology, 8, terminal=terminal, length=2, seed=3)
+    loader = make_loader(ontology, cfg32, qs, batch_size=8, shuffle=False)
+    batch = next(iter(loader))
+    arrays = {k: jnp.asarray(v) for k, v in batch.arrays.items()}
+    obj, mask = jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask)
+    out32 = i32.forward(params, obj, mask, arrays, batch.spec, False, None)
+    out16 = i16.forward(params, obj, mask, arrays, batch.spec, False, None)
+    p32 = np.exp(np.asarray(out32["log_probability"], np.float64))
+    p16 = np.exp(np.asarray(out16["log_probability"], np.float64))
+    # bf16 has ~3 decimal digits; probabilities should agree to a few %
+    np.testing.assert_allclose(p16, p32, atol=0.06)
+    assert np.isfinite(float(out16["loss"]))
+
+
+def test_bf16_training_reduces_loss(ontology):
+    cfg = tiny_cfg(learning_rate=0.01, dropout=0.0)
+    cfg.tpu.compute_dtype = "bfloat16"
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    qs = generate_questions(ontology, 8, terminal="exist", length=1, seed=5)
+    loader = make_loader(ontology, cfg, qs, batch_size=8, shuffle=False)
+    trainer = VQATrainer(cfg, interp)
+    trainer._tx = build_optimizer(cfg, params)
+    opt_state = trainer._tx.init(params)
+    batch = next(iter(loader))
+    arrays = {k: jnp.asarray(v) for k, v in batch.arrays.items()}
+    fn = trainer._train_step(batch.spec)
+    losses = []
+    for i in range(30):
+        params, opt_state, loss, _, _rng = fn(
+            params, opt_state, jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask),
+            arrays, jax.random.PRNGKey(i),
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
+    # params stay fp32: compute_dtype only affects matmul inputs
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert leaf.dtype == jnp.float32

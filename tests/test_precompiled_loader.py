@@ -98,3 +98,29 @@ def test_multiprocess_loader_propagates_worker_error(ontology):
                          num_workers=2)
     with pytest.raises(RuntimeError, match="loader worker"):
         list(loader)
+
+
+def test_multiprocess_loader_after_jax_init(ontology):
+    """Realistic order: JAX backend already initialized in the parent, then
+    fork workers and run device compute on their batches."""
+    from tests.test_pipeline_train import tiny_cfg
+
+    cfg = tiny_cfg(dropout=0.0)
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    _ = float(jnp.sum(jnp.ones(4)))  # force backend/client init before fork
+    qs = generate_questions(ontology, 12, terminal="exist", length=1, seed=8)
+    ds = ProgramDataset(qs, ontology)
+    comp = ProgramCompiler(ontology, object_num=6, rel_slots=4)
+    feats = SyntheticFeatures(box_dim=cfg.box_features_dim, min_objects=2, max_objects=6)
+    loader = BatchLoader([ds], comp, feats, 4, 6, shuffle=False, prefetch=2,
+                         num_workers=2)
+    seen = 0
+    for b in loader:
+        out = interp.forward(
+            params, jnp.asarray(b.objects), jnp.asarray(b.obj_mask),
+            {k: jnp.asarray(v) for k, v in b.arrays.items()}, b.spec, False, None,
+        )
+        assert np.isfinite(np.asarray(out["log_probability"])).all()
+        seen += 1
+    assert seen == 3

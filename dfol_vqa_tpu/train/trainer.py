@@ -344,6 +344,9 @@ class VQATrainer:
         throughput isn't bounded by per-batch host round-trips."""
         error = np.zeros(ERROR_DIM, np.float32)
         total = np.zeros(ERROR_DIM, np.float32)
+        # pin params on device once: host pytrees would otherwise re-transfer
+        # on every jit call (a per-batch RPC on remote TPU frontends)
+        params = jax.device_put(params)
         from dfol_vqa_tpu.data.device_prefetch import device_prefetch
 
         pending = []
@@ -397,6 +400,7 @@ class VQATrainer:
     ):
         if import_path_base is not None:
             params, self.global_step = ckpt.load(import_path_base, self.cfg.model_name, params)
+        params = jax.device_put(params)
         predictions: List[dict] = []
         for batch in loader:
             out = self._eval_step(batch.spec, batch.meta)(

@@ -54,11 +54,17 @@ def trace_to_dict(batch, out, trace) -> list:
     return result
 
 
-def render_question(image_path, image_id, bboxes, attentions, ops, out_file):
-    """Overlay per-hop attention boxes on the image (file output)."""
+def render_question(image_path, image_id, bboxes, attentions, ops, out_file,
+                    show: bool = False):
+    """Overlay per-hop attention boxes on the image.
+
+    Writes ``out_file``; with ``show=True`` (and a display) also opens an
+    interactive window per question, the reference's ``-v`` behavior
+    (trainer.py:542-596, OpenCV imshow/waitKey)."""
     import matplotlib
 
-    matplotlib.use("Agg")
+    if not show:
+        matplotlib.use("Agg")
     import matplotlib.pyplot as plt
     import matplotlib.patches as patches
 
@@ -83,11 +89,14 @@ def render_question(image_path, image_id, bboxes, attentions, ops, out_file):
         ax.set_title(op_label)
         ax.axis("off")
     fig.savefig(out_file, bbox_inches="tight")
+    if show:
+        plt.show()  # blocks until the window closes (reference waitKey)
     plt.close(fig)
 
 
 def visualize_loop(trainer, interp, loader, params, image_path: Optional[str],
-                   import_path: Optional[str], out_dir: str = "visualizations"):
+                   import_path: Optional[str], out_dir: str = "visualizations",
+                   show: bool = False):
     """Visualization epoch (trainer.py:516-596): trace JSON always, image
     overlays when the GQA images directory is available."""
     if import_path is not None:
@@ -114,6 +123,7 @@ def visualize_loop(trainer, interp, loader, params, image_path: Optional[str],
                     [h["attention"] for h in entry["hops"]],
                     [f"{h['op']}({h['token']})" for h in entry["hops"]],
                     os.path.join(out_dir, f"{entry['question_id']}.png"),
+                    show=show,
                 )
     with open(os.path.join(out_dir, "traces.json"), "w") as f:
         json.dump(all_traces, f)

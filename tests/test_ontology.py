@@ -82,3 +82,26 @@ def test_query_matches_reference(ontology):
     assert ontology._relation_index == ref._relation_index
     assert ontology._attribute_index == ref._attribute_index
     assert ontology._noun_subindex == ref._noun_subindex
+
+
+def test_glove_file_parsing(ontology, tmp_path):
+    """Real GloVe-format file: word lookup, multi-word token sums, and
+    missing-word zeros (reference batch_gqa_ops.py:135-148 semantics)."""
+    from dfol_vqa_tpu.ontology import GQAOntology
+
+    glove = tmp_path / "glove.txt"
+    glove.write_text(
+        "the 1.0 2.0 3.0\n"
+        "red 0.5 -1.0 0.25\n"
+        "car 2.0 0.0 -0.5\n"
+        "fire -1.0 1.0 1.0\n"
+        "hydrant 0.0 3.0 0.0\n"
+    )
+    ont = GQAOntology(metadata_path=None, embedding_file=str(glove), embedding_dim=3)
+    # single word
+    np.testing.assert_allclose(ont.get_embeddings(["red"]), [[0.5, -1.0, 0.25]])
+    # multi-word token = sum of word vectors
+    np.testing.assert_allclose(ont.get_embeddings(["fire hydrant"]), [[-1.0, 4.0, 1.0]])
+    # unknown words contribute zeros
+    np.testing.assert_allclose(ont.get_embeddings(["zzz"]), [[0.0, 0.0, 0.0]])
+    np.testing.assert_allclose(ont.get_embeddings(["red zzz"]), [[0.5, -1.0, 0.25]])

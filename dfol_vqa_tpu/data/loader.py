@@ -125,6 +125,9 @@ class BatchLoader:
         # GIL-bound; one prefetch thread caps at ~1 core). Workers shard the
         # deterministic batch sequence i % num_workers == k, so order and
         # content match the single-process path exactly. Requires fork.
+        # JAX warns that fork + its internal threads can deadlock; the
+        # workers never call JAX (numpy-only production, os._exit on the way
+        # out), which is the same contract PyTorch DataLoader workers rely on.
         self._num_workers = num_workers
 
     def __len__(self) -> int:

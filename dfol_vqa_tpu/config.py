@@ -38,6 +38,8 @@ class TPUConfig:
     # dispatch (lax.scan); amortizes per-dispatch RPC on remote frontends
     rel_block_size: int = 0  # 0 = no chunking of the O^2 relation pass
     donate_state: bool = True
+    fsdp: bool = False  # ZeRO-3 analog: shard params/optimizer state over
+    # the data axis (parallel/mesh.py param_sharding); all-gather-on-use
     loader_workers: int = 0  # >0: fork that many batch-producer processes
     # (host compile/collate is GIL-bound; see data/loader.py)
     checkpoint_backend: str = "npz"  # "npz" (single atomic file) or "orbax"

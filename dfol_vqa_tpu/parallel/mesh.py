@@ -52,16 +52,39 @@ def _has_model_axis(mesh: Mesh) -> bool:
     return "model" in mesh.axis_names and mesh.shape["model"] > 1
 
 
-def param_sharding(params: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+def param_sharding(params: Dict[str, Any], mesh: Mesh, fsdp: bool = False) -> Dict[str, Any]:
     """Params replicated, except the embedding head which is vocab-sharded
-    over the model axis (tensor-parallel analog for the 2,335-wide head)."""
+    over the model axis (tensor-parallel analog for the 2,335-wide head).
+
+    ``fsdp=True`` additionally shards every weight matrix's first divisible
+    axis over ``data`` (ZeRO-3 analog): GSPMD all-gathers each leaf just
+    before use and reduce-scatters its gradient, so per-device parameter +
+    optimizer memory drops by the data-axis size. Small/indivisible leaves
+    stay replicated — the memory win is in the wide oracle matrices."""
     repl = NamedSharding(mesh, P())
-    shardings = jax.tree_util.tree_map(lambda _: repl, params)
+
+    def leaf_spec(x) -> NamedSharding:
+        if not fsdp or np.ndim(x) == 0:
+            return repl
+        n_data = mesh.shape.get("data", 1)
+        if n_data <= 1:
+            return repl
+        for axis, dim in enumerate(np.shape(x)):
+            if dim % n_data == 0 and dim >= n_data:
+                spec = [None] * np.ndim(x)
+                spec[axis] = "data"
+                return NamedSharding(mesh, P(*spec))
+        return repl
+
+    shardings = jax.tree_util.tree_map(leaf_spec, params)
     if _has_model_axis(mesh) and "embedding" in params:
         V = params["embedding"]["b"].shape[0]
         if V % mesh.shape["model"] == 0:  # vocab must divide the model axis
+            # combined fsdp x tp: input dim over data, vocab over model
+            D = params["embedding"]["w"].shape[0]
+            row = "data" if fsdp and D % mesh.shape.get("data", 1) == 0 else None
             shardings["embedding"] = {
-                "w": NamedSharding(mesh, P(None, "model")),
+                "w": NamedSharding(mesh, P(row, "model")),
                 "b": NamedSharding(mesh, P("model")),
             }
     return shardings
@@ -85,8 +108,8 @@ def shard_batch(mesh: Mesh, *trees):
     return out if len(out) > 1 else out[0]
 
 
-def shard_params(mesh: Mesh, params):
-    sh = param_sharding(params, mesh)
+def shard_params(mesh: Mesh, params, fsdp: bool = False):
+    sh = param_sharding(params, mesh, fsdp=fsdp)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), params, sh,
         is_leaf=lambda x: x is None,

@@ -161,3 +161,42 @@ def test_compiler_rejects_mixed_terminal_batch(ontology):
     )
     with pytest.raises(AssertionError):
         comp.compile(qs)
+
+
+def test_fsdp_sharded_train_step_matches_replicated(ontology):
+    """fsdp=True (params sharded over data, ZeRO-3 analog) must produce the
+    same loss and updated params as fully replicated execution."""
+    import optax
+
+    from dfol_vqa_tpu.parallel.mesh import param_sharding
+
+    cfg, interp, params, batch, arrays = _setup(ontology)
+    obj, mask = jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask)
+    tx = build_optimizer(cfg, params)
+
+    def step(p, opt_state, o, m, a):
+        def loss_fn(pp):
+            out = interp.forward(pp, o, m, a, batch.spec, True, None)
+            return out["loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    ref_p, _, ref_loss = jax.jit(step)(params, tx.init(params), obj, mask, arrays)
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    with mesh:
+        sh = param_sharding(params, mesh, fsdp=True)
+        # at least one leaf actually sharded over data
+        assert any(
+            "data" in str(s.spec) for s in jax.tree_util.tree_leaves(sh)
+        )
+        params_s = jax.tree_util.tree_map(jax.device_put, params, sh)
+        obj_s, mask_s, arrays_s = shard_batch(mesh, obj, mask, arrays)
+        out_p, _, loss = jax.jit(step, donate_argnums=(0, 1))(
+            params_s, tx.init(params_s), obj_s, mask_s, arrays_s
+        )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_p), jax.tree_util.tree_leaves(out_p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)

@@ -94,9 +94,22 @@ class ExperimentBase:
         ontology = self.build_ontology(cfg, logger)
         interp = self.build_interpreter(cfg, ontology, logger)
         features = self.build_features(cfg, logger)
-        trainer = VQATrainer(cfg, interp, logger, hardset_path=hardset_path)
+
+        # multi-chip: build the config-declared mesh (tpu.mesh_shape) and
+        # shard params over it (FSDP optional); with the default (1,) mesh
+        # everything stays single-device
+        mesh = None
+        import math
+
+        if math.prod(cfg.tpu.mesh_shape) > 1:
+            from dfol_vqa_tpu.parallel.mesh import make_mesh, shard_params
+
+            mesh = make_mesh(cfg.tpu.mesh_shape, cfg.tpu.mesh_axes)
+        trainer = VQATrainer(cfg, interp, logger, hardset_path=hardset_path, mesh=mesh)
 
         params = interp.init_params(jax.random.PRNGKey(seed or 0))
+        if mesh is not None:
+            params = shard_params(mesh, params, fsdp=cfg.tpu.fsdp)
         if not is_training:  # training reloads per repetition inside train()
             if load_model == "best":
                 params = trainer.load(best_path, params)

@@ -132,7 +132,13 @@ def shard_train_step(step_fn, mesh: Mesh):
     def wrapped(params, opt_state, objects, obj_mask, arrays, rng):
         objects = jax.device_put(objects, data_spec(objects))
         obj_mask = jax.device_put(obj_mask, data_spec(obj_mask))
-        arrays = {k: jax.device_put(v, data_spec(v)) for k, v in arrays.items()}
+        if isinstance(arrays, dict):
+            arrays = {k: jax.device_put(v, data_spec(v)) for k, v in arrays.items()}
+        else:
+            # packed one-buffer transfer form: a flat int32 buffer whose
+            # leading axis is NOT the batch axis — replicate it (a few KB)
+            # and let GSPMD shard the unpacked program tensors in-jit
+            arrays = jax.device_put(arrays, repl)
         return jitted(params, opt_state, objects, obj_mask, arrays, rng)
 
     return wrapped

@@ -193,3 +193,24 @@ def test_visualize_image_render_uses_unique_image_rows(tmp_path, ontology):
                             out_dir=str(out))
     assert len(traces) == 4
     assert len(list(out.glob("*.png"))) == 4
+
+
+def test_cli_train_on_config_declared_mesh(tiny_setup, tmp_path):
+    """End-to-end training driven by a YAML-declared (4,2) mesh with FSDP:
+    the experiment builds the mesh, shards params, and trains + tests."""
+    import yaml as _yaml
+
+    from dfol_vqa_tpu.experiments.gqa_experiment import main
+
+    root, cfg_path = tiny_setup
+    with open(cfg_path) as f:
+        cfg = _yaml.safe_load(f)
+    cfg["model_name"] = "tiny_mesh"
+    cfg["tpu"].update({"mesh_shape": [4, 2], "mesh_axes": ["data", "model"],
+                       "fsdp": True})
+    mesh_cfg = tmp_path / "cfg_mesh.yaml"
+    mesh_cfg.write_text(_yaml.safe_dump(cfg))
+    result = main([str(mesh_cfg), "-s", "1"])
+    assert result["test_error"] is not None
+    assert np.isfinite(result["test_error"]).all()
+    assert (root / "runs" / "tiny_mesh" / "t0" / "last" / "tiny_mesh.npz").exists()

@@ -209,6 +209,43 @@ def measure_train(hops: int = 2, batch: int = 80) -> float:
     return batch * iters / (time.time() - t0)
 
 
+def measure_train_chunked(hops: int = 2, batch: int = 80, chunk: int = 10) -> float:
+    """Training throughput with `tpu.train_chunk`-style dispatch: `chunk`
+    optimizer steps fused into one device call (lax.scan), amortizing the
+    per-dispatch RPC that bounds single-step training on remote frontends."""
+    import jax
+    import jax.numpy as jnp
+
+    from dfol_vqa_tpu.train.optim import build_optimizer
+    from dfol_vqa_tpu.train.trainer import VQATrainer
+
+    global BATCH
+    old_batch = BATCH
+    BATCH = batch
+    try:
+        interp, batches = build_batches(hops, seed=1)
+    finally:
+        BATCH = old_batch
+    params = jax.device_put(interp.init_params(jax.random.PRNGKey(0)))
+    trainer = VQATrainer(interp.cfg, interp)
+    trainer._tx = build_optimizer(interp.cfg, params)
+    opt_state = trainer._tx.init(params)
+    spec, obj, mask, arrays, meta, packed = batches[0]
+    objs = jnp.asarray(np.stack([obj] * chunk))
+    masks = jnp.asarray(np.stack([mask] * chunk))
+    packs = jnp.asarray(np.stack([packed] * chunk))
+    fn = trainer._train_step_chunk(spec, meta, chunk)
+    rng = jax.random.PRNGKey(0)
+    params, opt_state, losses, _, rng = fn(params, opt_state, objs, masks, packs, rng)
+    jax.block_until_ready(losses)
+    iters = 6
+    t0 = time.time()
+    for _ in range(iters):
+        params, opt_state, losses, _, rng = fn(params, opt_state, objs, masks, packs, rng)
+    jax.block_until_ready(losses)
+    return batch * chunk * iters / (time.time() - t0)
+
+
 def main():
     baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
     baseline = None
@@ -233,6 +270,7 @@ def main():
     finally:
         O_PAD, MIN_OBJ, MAX_OBJ = 24, 8, 24
     train_qps = float(np.median([measure_train(hops=2, batch=80) for _ in range(2)]))
+    train_chunked_qps = measure_train_chunked(hops=2, batch=80, chunk=10)
 
     base_1 = baseline["exist_1hop"]["questions_per_sec"] if baseline else None
     base_3 = baseline["exist_3hop_relational"]["questions_per_sec"] if baseline else None
@@ -246,6 +284,7 @@ def main():
             "exist_3hop_relational_qps": round(qps_3hop, 2),
             "exist_3hop_relational_vs_baseline": round(qps_3hop / base_3, 2) if base_3 else None,
             "train_step_qps_batch80": round(train_qps, 2),
+            "train_chunked10_qps_batch80": round(train_chunked_qps, 2),
             "exist_3hop_batch256_qps": round(qps_large, 2),
             "exist_3hop_O100_qps": round(qps_full_o, 2),
             "baseline_source": "BASELINE_MEASURED.json (reference PyTorch CPU)",

@@ -91,9 +91,17 @@ def param_sharding(params: Dict[str, Any], mesh: Mesh, fsdp: bool = False) -> Di
 
 
 def batch_sharding(mesh: Mesh):
-    """All batch tensors: leading (question) axis over 'data'."""
+    """Batch tensors: leading (question) axis over 'data'.
+
+    Tensors whose leading dim does not divide the data-axis size are
+    replicated instead — e.g. the unique-image scene tensors, whose leading
+    dim is ladder-padded (powers of 2) and may not divide an odd mesh."""
+    n_data = mesh.shape.get("data", 1)
 
     def spec(x):
+        dim0 = np.shape(x)[0] if np.ndim(x) else 0
+        if np.ndim(x) == 0 or dim0 % n_data != 0:
+            return NamedSharding(mesh, P())
         return NamedSharding(mesh, P("data", *([None] * (np.ndim(x) - 1))))
 
     return spec
@@ -121,8 +129,7 @@ def shard_train_step(step_fn, mesh: Mesh):
     the mesh; GSPMD partitions compute and inserts ICI collectives."""
     repl = NamedSharding(mesh, P())
 
-    def data_spec(x):
-        return NamedSharding(mesh, P("data", *([None] * (max(np.ndim(x), 1) - 1))))
+    data_spec = batch_sharding(mesh)
 
     jitted = jax.jit(
         step_fn,

@@ -27,7 +27,8 @@ from dfol_vqa_tpu.data.features import FeatureSource
 
 
 class LoadedBatch:
-    __slots__ = ("spec", "compiled", "objects", "obj_mask", "arrays", "meta", "packed")
+    __slots__ = ("spec", "compiled", "objects", "obj_mask", "arrays", "meta",
+                 "packed", "obj_scale")
 
     def __init__(self, spec: BucketSpec, compiled: CompiledBatch, objects, obj_mask,
                  img_index=None):
@@ -38,6 +39,13 @@ class LoadedBatch:
         self.arrays = batch_arrays(compiled)
         if img_index is not None:
             self.arrays["img_index"] = img_index
+        # per-object-row quantization scale for the optional int8 feature
+        # transfer (device_prefetch.quantize_objects); rides the packed
+        # buffer so device-side dequant uses the exact host scale
+        self.obj_scale = np.maximum(
+            np.max(np.abs(np.asarray(objects, np.float32)), axis=-1) / 127.0, 1e-12
+        ).astype(np.float32)
+        self.arrays["obj_scale"] = self.obj_scale
         # one-buffer transfer form (pack_meta docstring)
         self.meta = pack_meta(self.arrays)
         self.packed = pack_arrays(self.arrays, self.meta)

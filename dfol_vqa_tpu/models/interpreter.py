@@ -705,6 +705,11 @@ class Interpreter:
     ) -> Dict[str, jnp.ndarray]:
         """Execute one compiled batch (not jitted; see `step` for the jitted
         wrapper). Mirrors BatchInterpreterBase.forward (…:72-183)."""
+        if objects.dtype == jnp.int8:
+            # int8 feature transfer (data/device_prefetch.py quantize_objects):
+            # dequantize with the per-object scale shipped in the packed
+            # program buffer — halves host->device feature bytes vs bf16
+            objects = objects.astype(jnp.float32) * arrays["obj_scale"][..., None]
         needs_rel = spec_needs_relations(spec)
         world = self.build_world(
             params,

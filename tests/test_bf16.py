@@ -67,3 +67,32 @@ def test_bf16_training_reduces_loss(ontology):
     # params stay fp32: compute_dtype only affects matmul inputs
     for leaf in jax.tree_util.tree_leaves(params):
         assert leaf.dtype == jnp.float32
+
+
+def test_int8_feature_transfer_matches_f32(ontology):
+    """int8-quantized feature transfer (per-object scale, dequant in-jit via
+    the packed obj_scale) must preserve answers and stay within ~1% in
+    probability of the f32 path."""
+    import jax
+
+    from dfol_vqa_tpu.data.device_prefetch import quantize_objects
+
+    cfg = tiny_cfg(dropout=0.0)
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    qs = generate_questions(ontology, 8, terminal="exist", length=2, seed=9)
+    loader = make_loader(ontology, cfg, qs, batch_size=8, shuffle=False)
+    batch = next(iter(loader))
+    mask = jnp.asarray(batch.obj_mask)
+    packed = jnp.asarray(batch.packed)
+    step = interp.step_packed(batch.spec, batch.meta, is_training=False)
+
+    out32 = step(params, jnp.asarray(batch.objects), mask, packed, None)
+    q8 = quantize_objects(batch.objects, batch.obj_scale)
+    assert q8.dtype == np.int8
+    out8 = step(params, jnp.asarray(q8), mask, packed, None)
+
+    p32 = np.exp(np.asarray(out32["log_probability"]))
+    p8 = np.exp(np.asarray(out8["log_probability"]))
+    np.testing.assert_allclose(p8, p32, atol=0.02)
+    assert np.array_equal(p32 > 0.5, p8 > 0.5)

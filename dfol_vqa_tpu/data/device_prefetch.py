@@ -27,16 +27,23 @@ except ImportError:  # pragma: no cover
 
 
 def quantize_objects(objects, obj_scale):
-    """Per-object-row symmetric int8 quantization of the feature tensor.
+    """Per-object-row symmetric int8 quantization of the FEATURE columns.
 
     Halves feature transfer bytes vs bf16; the interpreter dequantizes
     in-jit with the same scale (shipped via the packed program buffer).
-    Measured effect at production dims: 100% answer agreement, max
-    probability delta ~0.01 (fp8 e4m3 overflows on image-size/bbox
-    columns and is NOT safe)."""
-    return np.round(
-        np.asarray(objects, np.float32) / obj_scale[..., None]
+    The 6 trailing geometry columns (image w/h + bbox, pixel scale) are
+    zeroed here and restored on-device from the unquantized
+    ``arrays["obj_geom"]`` copy — a shared scale across feature and
+    geometry columns would flush the O(1) RCNN features to zero."""
+    from dfol_vqa_tpu.data.loader import GEOM_DIM
+
+    q = np.round(
+        np.clip(
+            np.asarray(objects, np.float32) / obj_scale[..., None], -127.0, 127.0
+        )
     ).astype(np.int8)
+    q[..., -GEOM_DIM:] = 0
+    return q
 
 
 def to_device_batch(batch, transfer_dtype: Optional[str] = None, sharding=None):

@@ -25,6 +25,10 @@ from dfol_vqa_tpu.compiler.program_compiler import (
 from dfol_vqa_tpu.data.dataset import ProgramDataset, iter_batches, iter_index_batches
 from dfol_vqa_tpu.data.features import FeatureSource
 
+# trailing non-feature columns of an object row: image w,h + bbox x,y,w,h
+# (featurizer.py docstring; reference batch_gqa_boxfeatures_pipeline.py:71)
+GEOM_DIM = 6
+
 
 class LoadedBatch:
     __slots__ = ("spec", "compiled", "objects", "obj_mask", "arrays", "meta",
@@ -41,11 +45,17 @@ class LoadedBatch:
             self.arrays["img_index"] = img_index
         # per-object-row quantization scale for the optional int8 feature
         # transfer (device_prefetch.quantize_objects); rides the packed
-        # buffer so device-side dequant uses the exact host scale
+        # buffer so device-side dequant uses the exact host scale. The scale
+        # covers ONLY the 2048 RCNN feature columns — the 6 geometry columns
+        # (image w/h + bbox) sit at pixel scale (~hundreds), and a shared
+        # scale would quantize the O(1) features to zero; geometry instead
+        # rides the packed buffer unquantized (it is 6 of 2054 columns).
+        obj_f32 = np.asarray(objects, np.float32)
         self.obj_scale = np.maximum(
-            np.max(np.abs(np.asarray(objects, np.float32)), axis=-1) / 127.0, 1e-12
+            np.max(np.abs(obj_f32[..., :-GEOM_DIM]), axis=-1) / 127.0, 1e-12
         ).astype(np.float32)
         self.arrays["obj_scale"] = self.obj_scale
+        self.arrays["obj_geom"] = obj_f32[..., -GEOM_DIM:]
         # one-buffer transfer form (pack_meta docstring)
         self.meta = pack_meta(self.arrays)
         self.packed = pack_arrays(self.arrays, self.meta)
@@ -227,7 +237,19 @@ class BatchLoader:
                 i += 1
                 if done[k]:
                     continue
-                item = queues[k].get()
+                # bounded get + liveness check: a worker killed without
+                # enqueueing its sentinel (OOM-kill, hard crash) must raise,
+                # not hang the training loop forever
+                while True:
+                    try:
+                        item = queues[k].get(timeout=10.0)
+                        break
+                    except queue.Empty:
+                        if not procs[k].is_alive():
+                            raise RuntimeError(
+                                f"loader worker {k} died (exitcode="
+                                f"{procs[k].exitcode}) without a sentinel"
+                            ) from None
                 if item is None:
                     done[k] = True
                     continue

@@ -279,7 +279,7 @@ class Interpreter:
                     params, attr_in_u, pos_u, img_index, rel_tokens, cfg, r_rel,
                     deterministic,
                 )
-            elif cfg.tpu.use_pallas:
+            elif cfg.tpu.use_pallas and jax.default_backend() == "tpu":
                 from dfol_vqa_tpu.ops.pallas.relation_oracle import rel_cache_pallas
 
                 rel_ll = rel_cache_pallas(
@@ -707,9 +707,14 @@ class Interpreter:
         wrapper). Mirrors BatchInterpreterBase.forward (…:72-183)."""
         if objects.dtype == jnp.int8:
             # int8 feature transfer (data/device_prefetch.py quantize_objects):
-            # dequantize with the per-object scale shipped in the packed
-            # program buffer — halves host->device feature bytes vs bf16
-            objects = objects.astype(jnp.float32) * arrays["obj_scale"][..., None]
+            # dequantize the feature columns with the per-object scale shipped
+            # in the packed program buffer — halves host->device feature bytes
+            # vs bf16 — and splice the geometry columns back in from their
+            # unquantized copy (pixel-scale values don't survive a feature
+            # scale, and vice versa)
+            deq = objects.astype(jnp.float32) * arrays["obj_scale"][..., None]
+            geom = arrays["obj_geom"]
+            objects = jnp.concatenate([deq[..., : -geom.shape[-1]], geom], axis=-1)
         needs_rel = spec_needs_relations(spec)
         world = self.build_world(
             params,

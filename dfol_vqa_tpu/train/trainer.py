@@ -230,6 +230,11 @@ class VQATrainer:
                 self.global_step = 0
             for epoch in range(cfg.epoch_num):
                 start = time.time()
+                # Host snapshot for the crash-save path: the jitted train step
+                # donates the params buffers (donate_argnums), so if a step
+                # raises after dispatch, `params` can reference invalidated
+                # device memory and the finally-block save would itself fail.
+                crash_backup = jax.tree_util.tree_map(np.asarray, params)
                 try:
                     from dfol_vqa_tpu.data.device_prefetch import device_prefetch
 
@@ -237,7 +242,10 @@ class VQATrainer:
                     # (a per-step host fetch would serialize the pipeline)
                     loss_acc: List = []
                     total_n = 0
-                    chunk = max(1, cfg.tpu.train_chunk)
+                    # chunked dispatch is host-loop fusion; under a mesh the
+                    # chunk-stacked tensors would shard on the wrong (chunk)
+                    # axis, so the sharded path stays one-step-per-dispatch
+                    chunk = max(1, cfg.tpu.train_chunk) if self._mesh is None else 1
                     pending_chunk: List = []
 
                     def flush_chunk():
@@ -270,8 +278,34 @@ class VQATrainer:
                                 self.global_step += 1
                         pending_chunk.clear()
 
-                    for j, (batch, objects, obj_mask, packed) in enumerate(
-                        device_prefetch(train_loader, size=2)
+                    next_ckpt = self.global_step + cfg.checkpointing_frequency
+
+                    def maybe_checkpoint():
+                        """Mid-epoch validate+save every checkpointing_frequency
+                        steps (reference trainer.py:404-423) — evaluated only at
+                        dispatch boundaries so fused chunks stay intact (a
+                        mid-chunk flush would silently break the scan fusion
+                        the fast training path depends on)."""
+                        nonlocal params, next_ckpt, crash_backup
+                        if validation_loader is None or self.global_step < next_ckpt:
+                            return
+                        next_ckpt = self.global_step + cfg.checkpointing_frequency
+                        err = self.test_epoch(validation_loader, params)
+                        crash_backup = jax.tree_util.tree_map(np.asarray, params)
+                        if last_export_path_base:
+                            self._save(last_export_path_base, params)
+                        if best_export_path_base and err[metric_index] <= self._best_error:
+                            self._best_error = err[metric_index]
+                            self._save(best_export_path_base, params)
+                        if cfg.verbose:
+                            self.logger.info(
+                                "Checkpointing: Step %d, Best Err %.5f: error=%s",
+                                self.global_step, self._best_error,
+                                self._prepare_output_metric_dict(err),
+                            )
+
+                    for batch, objects, obj_mask, packed in device_prefetch(
+                        train_loader, size=2
                     ):
                         if chunk > 1:
                             if pending_chunk and (
@@ -280,9 +314,11 @@ class VQATrainer:
                                 or pending_chunk[0][1].shape != objects.shape
                             ):
                                 flush_chunk()
+                                maybe_checkpoint()
                             pending_chunk.append((batch, objects, obj_mask, packed))
                             if len(pending_chunk) >= chunk:
                                 flush_chunk()
+                                maybe_checkpoint()
                         else:
                             fn = self._train_step(batch.spec, batch.meta)
                             params, opt_state, loss, match, rng = fn(
@@ -291,24 +327,8 @@ class VQATrainer:
                             loss_acc.append((loss, batch.batch_size))
                             total_n += batch.batch_size
                             self.global_step += 1
-                        if (
-                            validation_loader is not None
-                            and (j + 1) % cfg.checkpointing_frequency == 0
-                        ):
-                            flush_chunk()
-                            err = self.test_epoch(validation_loader, params)
-                            if last_export_path_base:
-                                self._save(last_export_path_base, params)
-                            if best_export_path_base and err[metric_index] <= self._best_error:
-                                self._best_error = err[metric_index]
-                                self._save(best_export_path_base, params)
-                            if cfg.verbose:
-                                self.logger.info(
-                                    "Checkpointing: Step %d, Best Err %.5f: error=%s",
-                                    self.global_step, self._best_error,
-                                    self._prepare_output_metric_dict(err),
-                                )
-                    if cfg.tpu.train_chunk > 1:
+                            maybe_checkpoint()
+                    if chunk > 1:
                         flush_chunk()
                     total_loss = sum(float(l) * n for l, n in loss_acc)
                     losses[epoch, rep] = total_loss / max(total_n, 1)
@@ -316,8 +336,20 @@ class VQATrainer:
                         errors[:, epoch, rep] = self.test_epoch(validation_loader, params)
                 finally:
                     if last_export_path_base:
-                        self._save(last_export_path_base, params)
-                if best_export_path_base and errors[metric_index, epoch, rep] < self._best_error:
+                        try:
+                            self._save(last_export_path_base, params)
+                        except Exception:
+                            # params referenced donated (invalidated) buffers;
+                            # fall back to the last known-valid host snapshot
+                            self._save(last_export_path_base, crash_backup)
+                # best selection is only meaningful when validation ran —
+                # otherwise errors[] is identically zero and the first epoch
+                # would pin _best_error to 0.0 forever
+                if (
+                    validation_loader is not None
+                    and best_export_path_base
+                    and errors[metric_index, epoch, rep] < self._best_error
+                ):
                     self._best_error = errors[metric_index, epoch, rep]
                     self._save(best_export_path_base, params)
                 if cfg.verbose:
@@ -365,11 +397,15 @@ class VQATrainer:
             match = np.asarray(match) * qm
             n = qm.sum()
             err = float(n - match.sum())
-            op_i = OP_INDEX[batch.spec.terminal_op]
+            # terminals without a dedicated bucket (e.g. 'end', which the
+            # compiler synthesizes for select/filter/relate-terminal files)
+            # count toward over_all only
+            op_i = OP_INDEX.get(batch.spec.terminal_op)
             error[0] += err
-            error[op_i] += err
             total[0] += n
-            total[op_i] += n
+            if op_i is not None:
+                error[op_i] += err
+                total[op_i] += n
         with np.errstate(invalid="ignore", divide="ignore"):
             return np.where(total > 0, error / np.maximum(total, 1), 0.0)
 

@@ -96,3 +96,18 @@ def test_int8_feature_transfer_matches_f32(ontology):
     p8 = np.exp(np.asarray(out8["log_probability"]))
     np.testing.assert_allclose(p8, p32, atol=0.02)
     assert np.array_equal(p32 > 0.5, p8 > 0.5)
+
+    # the dequantized FEATURE columns must reconstruct to within half a
+    # quantization step — synthetic scenes mix O(1) RCNN features with
+    # pixel-scale geometry (~640), so a shared row scale would flush the
+    # features to zero (round-1 advisor finding); the scale must therefore
+    # be feature-only and geometry must travel exactly
+    deq = q8.astype(np.float32) * batch.obj_scale[..., None]
+    feats = np.asarray(batch.objects, np.float32)[..., :-6]
+    feat_err = np.abs(deq[..., :-6] - feats)
+    assert feat_err.max() <= 0.5 * batch.obj_scale.max() + 1e-6
+    # relative fidelity: quant step is tiny vs the feature range
+    assert batch.obj_scale.max() < 0.1 * np.abs(feats).max()
+    np.testing.assert_array_equal(
+        batch.arrays["obj_geom"], np.asarray(batch.objects, np.float32)[..., -6:]
+    )

@@ -33,9 +33,15 @@ class TPUConfig:
     # lane multiple (2335 -> 2432): MXU-aligned matmuls + evenly shardable
     # over the model mesh axis; padded columns are never addressed (codes
     # are 1..2335)
-    use_pallas: bool = False  # fused Pallas relation-oracle kernel
-    train_chunk: int = 1  # same-bucket train steps fused into one device
+    use_pallas: bool = True  # fused Pallas relation kernels (Mosaic); only
+    # engaged when the backend is TPU — CPU always takes the XLA paths
+    # (interpret-mode kernels would be a silent slowdown)
+    train_chunk: int = 8  # same-bucket train steps fused into one device
     # dispatch (lax.scan); amortizes per-dispatch RPC on remote frontends
+    # (~4x train throughput on the remote-TPU frontend, BENCH r1/r2). The
+    # production default; checkpointing triggers at chunk boundaries so
+    # fusion is never broken. Set to 1 to dispatch per step. Ignored (=1)
+    # under a device mesh (the chunk axis must not shard).
     rel_block_size: int = 0  # 0 = no chunking of the O^2 relation pass
     donate_state: bool = True
     fsdp: bool = False  # ZeRO-3 analog: shard params/optimizer state over

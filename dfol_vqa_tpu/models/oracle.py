@@ -311,6 +311,18 @@ def rel_cache_shared(
     tok0 = jnp.clip(rel_tokens - 1, 0)
     e_sel = jnp.take(emb_w.T, tok0, axis=0)  # (B, R, E)
     b_sel = jnp.take(emb_b, tok0, axis=0)  # (B, R)
+
+    if cfg.tpu.use_pallas and jax.default_backend() == "tpu":
+        # fused gather+contract kernel: the per-question step below
+        # materialises a (B, O, O, E) gather in HBM — ~30x the bytes of the
+        # (B, O, O, R) result and the round-1 O=100 throughput collapse;
+        # the kernel keeps the per-image h2 tile resident in VMEM instead
+        from dfol_vqa_tpu.ops.pallas.shared_contract import shared_contract_pallas
+
+        return shared_contract_pallas(
+            h2, img_index, e_sel, b_sel, rel_tokens, default_ll
+        )
+
     h2_q = jnp.take(h2, img_index, axis=0)  # (B, O, O, E) gather view
     logits = (
         jnp.einsum(

@@ -77,11 +77,44 @@ def main():
 
     cfg2 = Config()
     cfg2.tpu.max_object_num = 16
+    cfg2.tpu.use_pallas = False  # force the XLA formulation for comparison
     interp2 = Interpreter(cfg2, ont)
     out2 = interp2.forward(params, obj, mask, arrays, b.spec, False, None)
     d = float(np.max(np.abs(lp - np.asarray(out2["log_probability"]))))
     assert d < 1e-4, f"pallas/XLA divergence: {d}"
-    log(f"PASS: Mosaic kernel matches XLA (max |dlog p| = {d:.2e})")
+    log(f"PASS: Mosaic relation-oracle kernel matches XLA (max |dlog p| = {d:.2e})")
+
+    # ---- shared-image gather+contract kernel (ops/pallas/shared_contract.py)
+    # questions share images heavily (U*2 <= B) -> the shared path engages;
+    # with use_pallas the (B,O,O,E) gather is replaced by the fused kernel
+    log("compiling shared-image gather+contract kernel (Mosaic)...")
+    qs2 = generate_questions(ont, 8, terminal="verify_rel", length=2, seed=13)
+    for i, q in enumerate(qs2):
+        q["imageId"] = f"s{i // 4}"  # 2 unique images for 8 questions
+    loader2 = BatchLoader(
+        [ProgramDataset(qs2, ont)],
+        ProgramCompiler(ont, object_num=16, rel_slots=cfg.tpu.rel_table_size),
+        SyntheticFeatures(box_dim=cfg.box_features_dim, min_objects=4, max_objects=16),
+        8, 16, shuffle=False, prefetch=0,
+    )
+    b2 = next(iter(loader2))
+    arrays2 = {k: jnp.asarray(v) for k, v in b2.arrays.items()}
+    obj2, mask2 = jnp.asarray(b2.objects), jnp.asarray(b2.obj_mask)
+    o_pal = interp.forward(params, obj2, mask2, arrays2, b2.spec, False, None)
+    o_xla = interp2.forward(params, obj2, mask2, arrays2, b2.spec, False, None)
+    d2 = float(np.max(np.abs(
+        np.asarray(o_pal["log_probability"]) - np.asarray(o_xla["log_probability"])
+    )))
+    assert d2 < 1e-4, f"shared-contract pallas/XLA divergence: {d2}"
+
+    def loss2(p):
+        return interp.forward(p, obj2, mask2, arrays2, b2.spec, True, None)["loss"]
+
+    g2 = jax.grad(loss2)(params)
+    gn2 = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g2))
+    assert np.isfinite(gn2) and gn2 > 0
+    log(f"PASS: shared gather+contract kernel matches XLA (max |dlog p| = {d2:.2e}, "
+        f"bwd grad L1 = {gn2:.1f})")
 
 
 if __name__ == "__main__":

@@ -23,34 +23,44 @@ def generate_questions(
     seed: int = 0,
     image_pool: int = 64,
     answer_mode: str = "random",
+    neg_prob: float = 0.0,
+    wildcard_prob: float = 0.0,
 ) -> List[dict]:
     """Generate `n` program dicts with terminal op `terminal`.
 
     `length` = number of branch hops beyond select (filters/relates mixed),
     matching the reference's length-segregation convention
-    (gqa_preprocess.py:136-147)."""
+    (gqa_preprocess.py:136-147). ``neg_prob`` wraps filter/verify arguments
+    in the reference's ``not(x)`` negation syntax (parse_utils detect_
+    negations, util.py:68); ``wildcard_prob`` makes select arguments ``_``
+    (unconstrained entity, batch_base_ops.py None/'_' masking)."""
     rng = np.random.default_rng(seed)
     nouns = [t for t in ontology._nouns if t in ontology._arg_to_idx]
     adjs = [t for t in ontology._adjectives if t in ontology._arg_to_idx]
     rels = [t for t in ontology._relations if t in ontology._arg_to_idx]
     cats = list(ontology._attribute_dict.keys())
 
+    def maybe_neg(tok: str) -> str:
+        return f"not({tok})" if rng.uniform() < neg_prob else tok
+
     def branch(hops: int) -> List[dict]:
-        ops = [{"operator": "select", "arguments": [str(rng.choice(nouns))]}]
+        sel = "_" if rng.uniform() < wildcard_prob else str(rng.choice(nouns))
+        ops = [{"operator": "select", "arguments": [sel]}]
         for h in range(hops):
             if rng.uniform() < 0.3 and h < hops:
                 ops.append(
                     {
                         "operator": "relate",
                         "arguments": [
-                            str(rng.choice(rels)),
+                            maybe_neg(str(rng.choice(rels))),
                             bool(rng.uniform() < 0.5),
                             str(rng.choice(nouns)),
                         ],
                     }
                 )
             else:
-                ops.append({"operator": "filter", "arguments": [str(rng.choice(adjs))]})
+                ops.append({"operator": "filter",
+                            "arguments": [maybe_neg(str(rng.choice(adjs)))]})
         return ops
 
     two_branch = terminal in ("and", "or", "two_same", "two_different", "compare")
@@ -62,12 +72,13 @@ def generate_questions(
             ans = str(rng.choice(["yes", "no"]))
         elif terminal == "verify_attrs":
             k = int(rng.integers(1, 3))
-            last = {"operator": "verify_attrs", "arguments": [[str(rng.choice(adjs)) for _ in range(k)]]}
+            last = {"operator": "verify_attrs",
+                    "arguments": [[maybe_neg(str(rng.choice(adjs))) for _ in range(k)]]}
             ans = str(rng.choice(["yes", "no"]))
         elif terminal == "verify_rel":
             last = {
                 "operator": "verify_rel",
-                "arguments": [str(rng.choice(rels)), bool(rng.uniform() < 0.5), str(rng.choice(nouns))],
+                "arguments": [maybe_neg(str(rng.choice(rels))), bool(rng.uniform() < 0.5), str(rng.choice(nouns))],
             }
             ans = str(rng.choice(["yes", "no"]))
         elif terminal == "query_attr":

@@ -1,13 +1,17 @@
 """Answer-distribution parity report: ours vs the reference, same weights.
 
 Runs identical synthetic GQA-style evaluation workloads (mixed terminal ops,
-mixed program lengths, shared scenes) through (a) this framework and (b) the
+program lengths 1-3, ``not(x)`` negations, ``_`` wildcard selects, ragged
+option counts, shared scenes) through (a) this framework and (b) the
 reference PyTorch pipeline loaded with the SAME parameters, then reports
-per-op answer agreement and log-probability deltas.
+per-op answer agreement and log-probability deltas. A second phase repeats
+a subset with the attention-transfer CALIBRATOR active (shared bi-LSTM
+weights, eval + train modulator modes), via the tests/test_calibrator_parity
+harness.
 
 Writes PARITY_REPORT.json at the repo root.
 
-Usage: python scripts/answer_parity.py [--per-op 24]
+Usage: python scripts/answer_parity.py [--per-op 330] [--calib-per-op 150]
 """
 
 import argparse
@@ -44,16 +48,132 @@ TERMS = [
 ]
 
 
-def synth_questions(ont, rng, terminal, n):
+def synth_questions(ont, rng, terminal, n, length, neg_prob=0.15, wildcard_prob=0.1):
     from dfol_vqa_tpu.data.synthetic import generate_questions
 
-    return generate_questions(ont, n, terminal=terminal, length=int(rng.integers(1, 4)),
-                              seed=int(rng.integers(0, 1 << 30)))
+    return generate_questions(
+        ont, n, terminal=terminal, length=length, seed=int(rng.integers(0, 1 << 30)),
+        neg_prob=neg_prob, wildcard_prob=wildcard_prob,
+    )
+
+
+def _compare_batch(qs, cb, spec, ours, ref):
+    """Returns (agree_count, n, max_lp_delta) for one batch."""
+    qtype = question_type_of(spec.terminal_op)
+    lp = np.asarray(ours["log_probability"])
+    ref_lp = ref["log_probability"].detach().numpy().flatten()
+    flags = np.asarray(ours["answer_flags"])
+    agree = n = 0
+    if qtype == QuestionType.QUERY:
+        flat = []
+        for qi in range(len(qs)):
+            flat.extend(lp[qi, : len(cb.option_strings[qi])])
+        delta = float(np.max(np.abs(np.array(flat) - ref_lp)))
+        for qi in range(len(qs)):
+            k = len(cb.option_strings[qi])
+            mine = [cb.option_strings[qi][j] for j in range(k) if flags[qi, j]]
+            agree += int(mine == [str(x) for x in ref["answer"][qi]])
+            n += 1
+    else:
+        delta = float(np.max(np.abs(lp - ref_lp)))
+        for qi in range(len(qs)):
+            mine = "yes" if flags[qi, 0] else "no"
+            agree += int(mine == str(ref["answer"][qi][0]))
+            n += 1
+    return agree, n, delta
+
+
+def run_plain_phase(ont, params, rng, per_op, batch, report):
+    total_match = total_n = 0
+    for term in TERMS:
+        agree = n = 0
+        lp_deltas = []
+        failed = None
+        for length in (1, 2, 3):
+            qs_all = synth_questions(ont, rng, term, per_op // 3, length)
+            for s in range(0, len(qs_all), batch):
+                qs = qs_all[s : s + batch]
+                counts = [int(rng.integers(2, fmp.O_PAD + 1)) for _ in qs]
+                objs, mask = fmp.make_scene(rng, counts)
+                try:
+                    ref = fmp.run_reference(params, qs, objs, mask, counts)
+                except Exception as e:  # reference crashes on some shapes
+                    failed = f"reference failed: {e}"
+                    break
+                spec, cb, ours = fmp.run_ours(ont, params, qs, objs, mask)
+                a, m, d = _compare_batch(qs, cb, spec, ours, ref)
+                agree += a
+                n += m
+                lp_deltas.append(d)
+            if failed:
+                break
+        report[term] = (
+            {"error": failed}
+            if failed
+            else {
+                "questions": n,
+                "answer_agreement": agree / max(n, 1),
+                "max_abs_logprob_delta": float(np.max(lp_deltas)) if lp_deltas else None,
+            }
+        )
+        total_match += agree
+        total_n += n
+    return total_match, total_n
+
+
+def run_calibrator_phase(ont_dim, rng, per_op, batch, report):
+    """Subset of terminals with the attention-transfer calibrator ACTIVE and
+    shared bi-LSTM weights (test_calibrator_parity harness); exercises both
+    the eval and training modulator modes (trainer.py:97)."""
+    import test_calibrator_parity as cp
+    from dfol_vqa_tpu.ontology import GQAOntology as OurOntology
+
+    ont = OurOntology(embedding_dim=cp.EMB_DIM)
+    cfg = cp.calib_cfg()
+    interp = Interpreter(cfg, ont)
+    params = cp.randomize_output_head(interp.init_params(jax.random.PRNGKey(41)))
+
+    total_match = total_n = 0
+    for term in ["exist", "verify_rel", "query_attr", "choose_rel", "two_same"]:
+        agree = n = 0
+        lp_deltas = []
+        failed = None
+        for length, is_training in ((1, False), (2, False), (2, True)):
+            qs_all = synth_questions(ont, rng, term, per_op // 3, length)
+            for s in range(0, len(qs_all), batch):
+                qs = qs_all[s : s + batch]
+                counts = [int(rng.integers(2, cp.O_PAD + 1)) for _ in qs]
+                objs, mask = cp.make_scene(rng, counts)
+                try:
+                    ref = cp.run_reference(params, qs, objs, mask, counts, is_training)
+                except Exception as e:
+                    failed = f"reference failed: {e}"
+                    break
+                spec, cb, ours = cp.run_ours(ont, params, qs, objs, mask, is_training)
+                a, m, d = _compare_batch(qs, cb, spec, ours, ref)
+                agree += a
+                n += m
+                lp_deltas.append(d)
+            if failed:
+                break
+        report[f"calibrated_{term}"] = (
+            {"error": failed}
+            if failed
+            else {
+                "questions": n,
+                "answer_agreement": agree / max(n, 1),
+                "max_abs_logprob_delta": float(np.max(lp_deltas)) if lp_deltas else None,
+            }
+        )
+        total_match += agree
+        total_n += n
+    return total_match, total_n
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--per-op", type=int, default=24)
+    ap.add_argument("--per-op", type=int, default=330)
+    ap.add_argument("--calib-per-op", type=int, default=150)
     ap.add_argument("--batch", type=int, default=6)
     args = ap.parse_args()
 
@@ -64,60 +184,21 @@ def main():
     rng = np.random.default_rng(7)
 
     report = {}
-    total_match = total_n = 0
-    for term in TERMS:
-        qs_all = synth_questions(ont, rng, term, args.per_op)
-        agree = n = 0
-        lp_deltas = []
-        for s in range(0, len(qs_all), args.batch):
-            qs = qs_all[s : s + args.batch]
-            counts = [int(rng.integers(2, fmp.O_PAD + 1)) for _ in qs]
-            objs, mask = fmp.make_scene(rng, counts)
-            try:
-                ref = fmp.run_reference(params, qs, objs, mask, counts)
-            except Exception as e:  # reference crashes on some shapes
-                report[term] = {"error": f"reference failed: {e}"}
-                break
-            spec, cb, ours = fmp.run_ours(ont, params, qs, objs, mask)
-            qtype = question_type_of(spec.terminal_op)
-            lp = np.asarray(ours["log_probability"])
-            ref_lp = ref["log_probability"].detach().numpy().flatten()
-            flags = np.asarray(ours["answer_flags"])
-            if qtype == QuestionType.QUERY:
-                flat = []
-                for qi in range(len(qs)):
-                    flat.extend(lp[qi, : len(cb.option_strings[qi])])
-                lp_deltas.append(np.max(np.abs(np.array(flat) - ref_lp)))
-                for qi in range(len(qs)):
-                    k = len(cb.option_strings[qi])
-                    mine = [cb.option_strings[qi][j] for j in range(k) if flags[qi, j]]
-                    agree += int(mine == [str(x) for x in ref["answer"][qi]])
-                    n += 1
-            else:
-                lp_deltas.append(np.max(np.abs(lp - ref_lp)))
-                for qi in range(len(qs)):
-                    mine = "yes" if flags[qi, 0] else "no"
-                    agree += int(mine == str(ref["answer"][qi][0]))
-                    n += 1
-        else:
-            report[term] = {
-                "questions": n,
-                "answer_agreement": agree / max(n, 1),
-                "max_abs_logprob_delta": float(np.max(lp_deltas)) if lp_deltas else None,
-            }
-            total_match += agree
-            total_n += n
+    m1, n1 = run_plain_phase(ont, params, rng, args.per_op, args.batch, report)
+    m2, n2 = run_calibrator_phase(fmp.EMB_DIM, rng, args.calib_per_op, args.batch, report)
 
     report["_overall"] = {
-        "questions": total_n,
-        "answer_agreement": total_match / max(total_n, 1),
+        "questions": n1 + n2,
+        "answer_agreement": (m1 + m2) / max(n1 + n2, 1),
+        "fuzz": "lengths 1-3, neg_prob 0.15, wildcard_prob 0.1, ragged options",
     }
     out = os.path.join(REPO, "PARITY_REPORT.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report["_overall"]))
-    for term in TERMS:
-        print(term, report.get(term))
+    for k in report:
+        if k != "_overall":
+            print(k, report[k])
 
 
 if __name__ == "__main__":

@@ -103,15 +103,18 @@ def _apply_option_negation(ll: jnp.ndarray, toks: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gather_rel(rel_ll: jnp.ndarray, idx: jnp.ndarray, tok: jnp.ndarray) -> jnp.ndarray:
-    """rel_ll (B, O, O, R), idx (B,), tok (B,) signed -> (B, O, O)."""
-    ll = jnp.take_along_axis(rel_ll, idx[:, None, None, None], axis=3)[..., 0]
+    """rel_ll (B, R, O, O), idx (B,), tok (B,) signed -> (B, O, O).
+
+    The R-major layout keeps the last two (O, O) dims on full (sublane,
+    lane) tiles — an R-last layout pads R=8 lanes to 128 on TPU (16x the
+    HBM bytes for the cache)."""
+    ll = jnp.take_along_axis(rel_ll, idx[:, None, None, None], axis=1)[:, 0]
     return _apply_negation_exact(ll, (tok < 0).astype(ll.dtype))
 
 
 def _gather_rel_options(rel_ll: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """rel_ll (B, O, O, R), idx (B, K) -> (B, K, O, O) raw."""
-    ll = jnp.take_along_axis(rel_ll, idx[:, None, None, :], axis=3)  # (B, O, O, K)
-    return jnp.moveaxis(ll, 3, 1)
+    """rel_ll (B, R, O, O), idx (B, K) -> (B, K, O, O) raw."""
+    return jnp.take_along_axis(rel_ll, idx[:, :, None, None], axis=1)
 
 
 # -------------------------------------------------------------- logic pieces
@@ -291,7 +294,7 @@ class Interpreter:
                 )
         else:
             R = 1 if rel_tokens is None else rel_tokens.shape[1]
-            rel_ll = jnp.zeros((B, 1, 1, R), jnp.float32)
+            rel_ll = jnp.zeros((B, R, 1, 1), jnp.float32)
             rel_tokens = jnp.zeros((B, R), jnp.int32) if rel_tokens is None else rel_tokens
         return World(
             obj_mask=obj_mask,

@@ -140,7 +140,9 @@ def rel_cache(
       pos: (B, O, 4) normalized bbox features.
       rel_tokens: (B, R) int32 *unsigned* token codes (0 = pad slot).
 
-    Returns (B, O, O, R) log-likelihoods; pad slots get ``default_ll``.
+    Returns (B, R, O, O) log-likelihoods (R-major: the (O, O) minor dims sit
+    on full TPU tiles; R-last would pad R~8 lanes to 128); pad slots get
+    ``default_ll``.
 
     Semantics match classifier_oracle.py:84-137 with the dense pair grid; the
     decomposed first layer is exact for the linear part (dropout, when
@@ -201,12 +203,12 @@ def rel_cache(
         h = jax.nn.sigmoid(h)  # RegularMLP final (gqa_interpreter_experiments.py:32)
         logits = (
             jnp.einsum(
-                "bije,bre->bijr",
+                "bije,bre->brij",
                 h.astype(compute_dtype),
                 e_sel.astype(compute_dtype),
                 preferred_element_type=jnp.float32,
             )
-            + b_sel[:, None, None, :]
+            + b_sel[:, :, None, None]
         )
         return jax.nn.log_sigmoid(logits)
 
@@ -237,22 +239,22 @@ def rel_cache(
             h = jax.nn.sigmoid(h)
             logits = (
                 jnp.einsum(
-                    "bije,bre->bijr",
+                    "bije,bre->brij",
                     h.astype(compute_dtype),
                     e_sel.astype(compute_dtype),
                     preferred_element_type=jnp.float32,
                 )
-                + b_sel[:, None, None, :]
+                + b_sel[:, :, None, None]
             )
             return jax.nn.log_sigmoid(logits)
 
-        out = jax.lax.map(blk_fn, jnp.arange(nblk))  # (nblk, B, block, O, R)
-        out = jnp.moveaxis(out, 0, 1).reshape(B, nblk * block, O, R)[:, :O]
+        out = jax.lax.map(blk_fn, jnp.arange(nblk))  # (nblk, B, R, block, O)
+        out = jnp.moveaxis(out, 0, 2).reshape(B, R, nblk * block, O)[:, :, :O]
         ll = out
     else:
         ll = pair_tail(h_s)
 
-    pad_slot = (rel_tokens == 0)[:, None, None, :]
+    pad_slot = (rel_tokens == 0)[:, :, None, None]
     return jnp.where(pad_slot, default_ll, ll)
 
 
@@ -326,15 +328,15 @@ def rel_cache_shared(
     h2_q = jnp.take(h2, img_index, axis=0)  # (B, O, O, E) gather view
     logits = (
         jnp.einsum(
-            "bije,bre->bijr",
+            "bije,bre->brij",
             h2_q.astype(compute_dtype),
             e_sel.astype(compute_dtype),
             preferred_element_type=jnp.float32,
         )
-        + b_sel[:, None, None, :]
+        + b_sel[:, :, None, None]
     )
     ll = jax.nn.log_sigmoid(logits)
-    pad_slot = (rel_tokens == 0)[:, None, None, :]
+    pad_slot = (rel_tokens == 0)[:, :, None, None]
     return jnp.where(pad_slot, default_ll, ll)
 
 
@@ -400,8 +402,8 @@ def full_caches(
 ):
     """compute_all_log_likelihood analog (classifier_oracle.py:139-156).
 
-    Returns (attr (B,O,V+1), rel (B,O,O,V_rel)) — the full relation head over
-    ``relation_index`` columns, used by the scene-graph supervision op."""
+    Returns (attr (B,O,V+1), rel (B,V_rel,O,O)) — the full relation head over
+    ``relation_index`` columns (R-major rel layout, see types.py)."""
     a = attr_cache(params, attr_in, cfg)
     rel_idx = jnp.asarray(relation_index)
     B = attr_in.shape[0]

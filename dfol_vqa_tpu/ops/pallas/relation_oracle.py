@@ -290,6 +290,7 @@ def rel_cache_pallas(
         e_sel, b_sel,
     )
 
-    out = out[:, :O, :O, :]
-    pad_slot = (rel_tokens == 0)[:, None, None, :]
+    # world.rel_ll convention is R-major (B, R, O, O) — see types.py
+    out = jnp.moveaxis(out[:, :O, :O, :], 3, 1)
+    pad_slot = (rel_tokens == 0)[:, :, None, None]
     return jnp.where(pad_slot, default_ll, out)

@@ -5,25 +5,28 @@ per UNIQUE image (U rows) — the right FLOP shape for GQA's ~10
 questions/image — but its per-question step
 
     h2_q   = h2[img_index]                        # (B, O, O, E) gather
-    logits = einsum('bije,bre->bijr', h2_q, e_sel)
+    logits = einsum('bije,bre->brij', h2_q, e_sel)
 
 materialises a (B, O, O, E) tensor in HBM. At production worst case
 (B=32, O=100, E=300) that is ~380 MB of traffic per batch and is exactly
 the regime where round-1 throughput collapsed (BENCH_r01
 exist_3hop_O100_qps). This kernel fuses the gather with the contraction:
-the grid is (i-tile, j-tile, question) with the question axis innermost, a
-scalar-prefetched ``img_index`` drives the h2 BlockSpec, and consecutive
-questions of the same image reuse the resident VMEM tile (Pallas skips the
-DMA when the mapped block is unchanged). Only the (B, O, O, R) result
-(R = relation-table slots, ~8) ever touches HBM:
+the grid is (i-tile, question) with the question axis innermost, a
+scalar-prefetched ``img_index`` drives the h2 BlockSpec (consecutive
+questions of the same image reuse the resident VMEM tile — Pallas skips
+the DMA when the mapped block is unchanged), and each step contracts a
+full (TI, O_pad) row band against the question's R-slot table. Only the
+R-major (B, R, O, O) result ever touches HBM — R-major keeps the (O, O)
+minor dims on full (8, 128) tiles; an R-last layout would pad R~8 lanes to
+128 (16x the bytes):
 
-    out[b,i,j,r] = logsigmoid( h2[img[b],i,j,:] . e_sel[b,r] + b_sel[b,r] )
+    out[b,r,i,j] = logsigmoid( h2[img[b],i,j,:] . e_sel[b,r] + b_sel[b,r] )
     (pad slots r with rel_tokens==0 get default_ll, folded into the kernel)
 
 The custom VJP computes gradients in XLA without ever materialising
 (B, O, O, E): both dh2 and de_sel are accumulated with a lax.map over the
 U unique images (mask-by-image, contract b and r jointly), trading ~U x
-FLOP overcount (U is small on this path by construction) for O(B O^2 R)
+FLOP overcount (U is small on this path by construction) for O(B R O^2)
 peak memory.
 """
 
@@ -36,20 +39,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# keep the double-buffered h2 row band comfortably inside VMEM (~16 MB/core)
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
 
 def _contract_kernel(idx_ref, h2_ref, esel_ref, bsel_ref, padm_ref, out_ref,
                      *, default_ll):
     del idx_ref  # consumed by the BlockSpec index maps
-    TI, TJ, E = h2_ref.shape[1], h2_ref.shape[2], h2_ref.shape[3]
+    TI, OP, E = h2_ref.shape[1], h2_ref.shape[2], h2_ref.shape[3]
     R = esel_ref.shape[1]
-    h2 = h2_ref[0].reshape(TI * TJ, E)
-    logits = (
-        jnp.dot(h2, esel_ref[0].T, preferred_element_type=jnp.float32)
-        + bsel_ref[0, 0][None, :]
-    )
+    h2 = h2_ref[0].reshape(TI * OP, E)
+    # (R, E) x (TI*OP, E)^T on the contracting dim — no operand transpose
+    logits = jax.lax.dot_general(
+        esel_ref[0], h2, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bsel_ref[0, 0][:, None]
     ll = jax.nn.log_sigmoid(logits)
-    ll = jnp.where(padm_ref[0, 0][None, :] > 0, default_ll, ll)
-    out_ref[0] = ll.reshape(TI, TJ, R)
+    ll = jnp.where(padm_ref[0, 0][:, None] > 0, default_ll, ll)
+    out_ref[0] = ll.reshape(R, TI, OP)
 
 
 def _run_fwd(static, h2_u, img_index, e_sel, b_sel, pad_mask):
@@ -60,22 +67,21 @@ def _run_fwd(static, h2_u, img_index, e_sel, b_sel, pad_mask):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nI, nI, B),  # question innermost: same-image neighbours
-        # reuse the resident h2 tile (DMA skipped on unchanged block)
+        grid=(nI, B),  # question innermost: same-image neighbours reuse
+        # the resident h2 row band (DMA skipped on unchanged block)
         in_specs=[
-            pl.BlockSpec((1, tile, tile, E),
-                         lambda i, j, b, idx: (idx[b], i, j, 0)),
-            pl.BlockSpec((1, R, E), lambda i, j, b, idx: (b, 0, 0)),
-            pl.BlockSpec((1, 1, R), lambda i, j, b, idx: (b, 0, 0)),
-            pl.BlockSpec((1, 1, R), lambda i, j, b, idx: (b, 0, 0)),
+            pl.BlockSpec((1, tile, O_pad, E), lambda i, b, idx: (idx[b], i, 0, 0)),
+            pl.BlockSpec((1, R, E), lambda i, b, idx: (b, 0, 0)),
+            pl.BlockSpec((1, 1, R), lambda i, b, idx: (b, 0, 0)),
+            pl.BlockSpec((1, 1, R), lambda i, b, idx: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile, tile, R), lambda i, j, b, idx: (b, i, j, 0)
+            (1, R, tile, O_pad), lambda i, b, idx: (b, 0, i, 0)
         ),
     )
     return pl.pallas_call(
         functools.partial(_contract_kernel, default_ll=default_ll),
-        out_shape=jax.ShapeDtypeStruct((B, O_pad, O_pad, R), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, R, O_pad, O_pad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(img_index, h2_u, e_sel, b_sel[:, None, :], pad_mask[:, None, :])
@@ -95,8 +101,8 @@ def _gc_fwd(static, h2_u, img_index, e_sel, b_sel, pad_mask):
 def _gc_bwd(static, res, g):
     h2_u, img_index, e_sel, out, pad_mask = res
     U = h2_u.shape[0]
-    live = (pad_mask == 0).astype(jnp.float32)[:, None, None, :]
-    dlogits = g * (1.0 - jnp.exp(out)) * live  # (B, O, O, R)
+    live = (pad_mask == 0).astype(jnp.float32)[:, :, None, None]
+    dlogits = g * (1.0 - jnp.exp(out)) * live  # (B, R, O, O)
 
     onehot = (img_index[None, :] == jnp.arange(U)[:, None]).astype(jnp.float32)
 
@@ -104,15 +110,15 @@ def _gc_bwd(static, res, g):
         m = onehot[u][:, None, None, None]  # (B,1,1,1)
         dl_u = dlogits * m
         # contract b and r jointly: (ij, b*r) @ (b*r, e) — no (B,O,O,E)
-        dh2_u = jnp.einsum("bijr,bre->ije", dl_u, e_sel,
+        dh2_u = jnp.einsum("brij,bre->ije", dl_u, e_sel,
                            preferred_element_type=jnp.float32)
-        desel_u = jnp.einsum("bijr,ije->bre", dl_u, h2_u[u],
+        desel_u = jnp.einsum("brij,ije->bre", dl_u, h2_u[u],
                              preferred_element_type=jnp.float32)
         return dh2_u, desel_u
 
     dh2, desel_parts = jax.lax.map(per_image, jnp.arange(U))
     d_esel = jnp.sum(desel_parts, axis=0)
-    d_bsel = jnp.sum(dlogits, axis=(1, 2))
+    d_bsel = jnp.sum(dlogits, axis=(2, 3))
     return dh2, None, d_esel, d_bsel, None
 
 
@@ -126,16 +132,28 @@ def shared_contract_pallas(
     b_sel: jnp.ndarray,
     rel_tokens: jnp.ndarray,
     default_ll: float,
-    tile: int = 32,
+    tile: int = 0,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(U, O, O, E) pair code + (B,) image map -> (B, O, O, R) likelihoods.
+    """(U, O, O, E) pair code + (B,) image map -> (B, R, O, O) likelihoods.
 
     Drop-in for the gather+einsum+log_sigmoid+pad tail of rel_cache_shared.
     O is padded to a tile multiple internally; callers pass O-sized arrays.
+    ``tile=0`` picks the largest row band that fits the VMEM budget.
     """
     U, O, _, E = h2_u.shape
-    tile = min(tile, -(-O // 8) * 8)
+    O8 = -(-O // 8) * 8
+    if tile <= 0:
+        # largest sublane band whose double-buffered (tile, O_pad, E) block
+        # fits the VMEM budget (O_pad grows with tile, so iterate)
+        tile = 8
+        while tile + 8 <= O8:
+            cand = tile + 8
+            o_pad_c = -(-O // cand) * cand
+            if 2 * cand * o_pad_c * E * 4 > _VMEM_BUDGET_BYTES:
+                break
+            tile = cand
+    tile = min(tile, O8)
     O_pad = -(-O // tile) * tile
     if O_pad != O:
         h2_u = jnp.pad(h2_u, ((0, 0), (0, O_pad - O), (0, O_pad - O), (0, 0)))
@@ -144,4 +162,4 @@ def shared_contract_pallas(
         (tile, default_ll, interpret),
         h2_u, img_index.astype(jnp.int32), e_sel, b_sel, pad_mask,
     )
-    return out[:, :O, :O, :]
+    return out[:, :, :O, :O]

@@ -72,7 +72,8 @@ class World:
 
     obj_mask: jnp.ndarray  # (B, O) float {0,1} per QUESTION
     attr_ll: jnp.ndarray  # (U, O, V+1) per UNIQUE image; col 0 = default ll
-    rel_ll: jnp.ndarray  # (B, O, O, R): per-question relation-table cache
+    rel_ll: jnp.ndarray  # (B, R, O, O): per-question relation-table cache
+    # (R-major so the (O, O) minor dims sit on full TPU (8,128) tiles)
     rel_tokens: jnp.ndarray  # (B, R) int32 unsigned token codes (0 = pad)
     attr_in: jnp.ndarray  # (B, O, D_att) featurized object inputs (gathered)
     pos: jnp.ndarray  # (B, O, 4) normalized bbox positional features

@@ -43,13 +43,13 @@ def static_world(
             code = ontology.encode_token(tok)
             attr_ll[b, :, code] = vals
     R = rel_tokens.shape[1]
-    rel_ll = np.full((B, O, O, R), default_ll, np.float32)
+    rel_ll = np.full((B, R, O, O), default_ll, np.float32)  # R-major (types.py)
     for b, table in enumerate(rel_tables):
         for tok, vals in table.items():
             code = ontology.encode_token(tok)
             slots = np.where(rel_tokens[b] == code)[0]
             for s in slots:
-                rel_ll[b, :, :, s] = vals
+                rel_ll[b, s] = vals
     mask = np.zeros((B, O), np.float32)
     for b, n in enumerate(counts):
         mask[b, :n] = 1.0

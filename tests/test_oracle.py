@@ -54,8 +54,8 @@ def test_shapes(ontology, rng):
     rel_tokens = jnp.asarray(rng.integers(1, 300, size=(B, 3)), jnp.int32)
     rel_tokens = rel_tokens.at[0, 2].set(0)  # pad slot
     rc = om.rel_cache(params, attr_in, pos, rel_tokens, cfg)
-    assert rc.shape == (B, O, O, 3)
-    assert np.allclose(np.asarray(rc[0, :, :, 2]), om.DEFAULT_LOG_LIKELIHOOD)
+    assert rc.shape == (B, 3, O, O)  # R-major layout (types.py)
+    assert np.allclose(np.asarray(rc[0, 2]), om.DEFAULT_LOG_LIKELIHOOD)
 
 
 def test_rel_block_chunking_matches_unchunked(ontology, rng):
@@ -142,7 +142,7 @@ def test_rel_cache_matches_reference_pair_mlp(ontology, rng):
                     scores = torch.nn.functional.logsigmoid(emb(h)).numpy()[0]
                     for r, tok in enumerate(rel_tokens[b]):
                         np.testing.assert_allclose(
-                            ours[b, i, j, r], scores[tok - 1], rtol=1e-4, atol=1e-5
+                            ours[b, r, i, j], scores[tok - 1], rtol=1e-4, atol=1e-5
                         )
 
 

@@ -48,8 +48,8 @@ def test_pallas_matches_xla(ontology, rng, B, O):
     out = rel_cache_pallas(params, attr_in, pos, rel_tokens, cfg, tile=8)
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3)
-    # pad slot carries the default log-likelihood
-    assert np.allclose(np.asarray(out[0, :, :, 3]), om.DEFAULT_LOG_LIKELIHOOD)
+    # pad slot carries the default log-likelihood (R-major layout, types.py)
+    assert np.allclose(np.asarray(out[0, 3]), om.DEFAULT_LOG_LIKELIHOOD)
 
 
 def test_interpreter_use_pallas_flag(ontology, rng):

@@ -30,11 +30,11 @@ def _make_inputs(rng, U, B, O, E, R, sorted_imgs):
 def _xla_tail(h2, img_index, e_sel, b_sel, rel_tokens, default_ll):
     h2_q = jnp.take(h2, img_index, axis=0)
     logits = (
-        jnp.einsum("bije,bre->bijr", h2_q, e_sel, preferred_element_type=jnp.float32)
-        + b_sel[:, None, None, :]
+        jnp.einsum("bije,bre->brij", h2_q, e_sel, preferred_element_type=jnp.float32)
+        + b_sel[:, :, None, None]
     )
     ll = jax.nn.log_sigmoid(logits)
-    return jnp.where((rel_tokens == 0)[:, None, None, :], default_ll, ll)
+    return jnp.where((rel_tokens == 0)[:, :, None, None], default_ll, ll)
 
 
 @pytest.mark.parametrize("O,sorted_imgs", [(7, True), (16, False), (20, True)])
@@ -49,7 +49,7 @@ def test_shared_contract_matches_xla(rng, O, sorted_imgs):
         tile=8, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
-    assert np.allclose(np.asarray(out[0, :, :, -1]), om.DEFAULT_LOG_LIKELIHOOD)
+    assert np.allclose(np.asarray(out[0, -1]), om.DEFAULT_LOG_LIKELIHOOD)
 
 
 def test_shared_contract_grads_match_xla(rng):
@@ -104,5 +104,5 @@ def test_rel_cache_shared_uses_kernel_only_on_tpu(ontology, rng, monkeypatch):
         if "interpret" not in k else orig(*a, **k),
     )
     out = om.rel_cache_shared(params, attr_in_u, pos_u, img_index, rel_tokens, cfg)
-    assert out.shape == (B, O, O, 3)
+    assert out.shape == (B, 3, O, O)
     assert not called  # CPU backend -> XLA tail

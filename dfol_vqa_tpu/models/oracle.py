@@ -314,11 +314,14 @@ def rel_cache_shared(
     e_sel = jnp.take(emb_w.T, tok0, axis=0)  # (B, R, E)
     b_sel = jnp.take(emb_b, tok0, axis=0)  # (B, R)
 
-    if cfg.tpu.use_pallas and jax.default_backend() == "tpu":
+    if cfg.tpu.use_pallas and O >= 64 and jax.default_backend() == "tpu":
         # fused gather+contract kernel: the per-question step below
         # materialises a (B, O, O, E) gather in HBM — ~30x the bytes of the
-        # (B, O, O, R) result and the round-1 O=100 throughput collapse;
-        # the kernel keeps the per-image h2 tile resident in VMEM instead
+        # (B, R, O, O) result and the round-1 O=100 throughput collapse;
+        # the kernel keeps the per-image h2 row band resident in VMEM
+        # instead (3.0x measured at O=100). Small O stays on XLA: the
+        # kernel pads O to 128 (Mosaic lane alignment) and the XLA tail is
+        # already fast there.
         from dfol_vqa_tpu.ops.pallas.shared_contract import shared_contract_pallas
 
         return shared_contract_pallas(

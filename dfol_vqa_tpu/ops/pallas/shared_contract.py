@@ -142,19 +142,21 @@ def shared_contract_pallas(
     ``tile=0`` picks the largest row band that fits the VMEM budget.
     """
     U, O, _, E = h2_u.shape
-    O8 = -(-O // 8) * 8
     if tile <= 0:
-        # largest sublane band whose double-buffered (tile, O_pad, E) block
-        # fits the VMEM budget (O_pad grows with tile, so iterate)
+        # Compiled (Mosaic) mode: the kernel's (R, TI*O_pad) -> (R, TI,
+        # O_pad) minor-dim reshape requires a 128-aligned lane split, so O
+        # pads to a 128 multiple; the tile is the largest power-of-two
+        # divisor whose double-buffered (tile, O_pad, E) band fits VMEM.
+        O_pad = -(-O // 128) * 128
         tile = 8
-        while tile + 8 <= O8:
-            cand = tile + 8
-            o_pad_c = -(-O // cand) * cand
-            if 2 * cand * o_pad_c * E * 4 > _VMEM_BUDGET_BYTES:
+        for cand in (16, 32, 64, 128):
+            if cand > O_pad or 2 * cand * O_pad * E * 4 > _VMEM_BUDGET_BYTES:
                 break
             tile = cand
-    tile = min(tile, O8)
-    O_pad = -(-O // tile) * tile
+    else:
+        # explicit tile (tests / interpret mode): no lane-alignment needs
+        O_pad = -(-O // tile) * tile
+    tile = min(tile, O_pad)
     if O_pad != O:
         h2_u = jnp.pad(h2_u, ((0, 0), (0, O_pad - O), (0, O_pad - O), (0, 0)))
     pad_mask = (rel_tokens == 0).astype(jnp.float32)

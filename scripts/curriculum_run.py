@@ -1,0 +1,239 @@
+"""Run the reference's 8-stage curriculum end-to-end on the planted world.
+
+Replicates the training recipe of /root/reference/README.md:77-100 — the
+same stage family sets, Train-All vs Train-Balanced alternation, -l best
+checkpoint forwarding, and calibrator-on-frozen-oracle stages 6-7 — using
+the shipped stage configs (configs/curriculum_training/cur*.yaml) with
+planted-world data (exact ground-truth answers, held-out scenes), since the
+GQA download is not available in this environment.
+
+Produces CURRICULUM_r02.json: per-stage accuracy on a FIXED full test set
+(all 13 terminal families, unseen scenes), demonstrating the monotone
+curriculum trajectory and the calibrator stages' gain over stage 5.
+
+Usage:
+    python scripts/curriculum_run.py [--noise 0.35] [--scale 1.0] \
+        [--out /tmp/curriculum] [--json CURRICULUM_r02.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import yaml
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Curriculum family sets (reference README.md:88-96)
+T1 = ["exist"]
+T2 = T1 + ["verify_attrs", "query_attr", "choose_attr"]
+T3 = T2 + ["choose_rel", "verify_rel", "and", "or", "two_different", "two_same"]
+T4 = T3 + ["compare", "all_same", "all_different"]
+
+STAGES = [
+    dict(i=0, fams=T1, lens=(0, 1), split="all", epochs=60, lr=3e-3),
+    dict(i=1, fams=T2, lens=(0, 1), split="all", epochs=30, lr=3e-3),
+    dict(i=2, fams=T3, lens=(0, 1), split="all", epochs=18, lr=3e-3),
+    dict(i=3, fams=T4, lens=(0, 1), split="bal", epochs=14, lr=1.5e-3),
+    dict(i=4, fams=T4, lens=(0, 1, 2), split="all", epochs=12, lr=1.5e-3),
+    dict(i=5, fams=T4, lens=(0, 1, 2), split="bal", epochs=10, lr=1e-3),
+    dict(i=6, fams=T4, lens=(0, 1, 2), split="all", epochs=12, lr=3e-3),
+    dict(i=7, fams=T4, lens=(0, 1, 2), split="bal", epochs=8, lr=1e-3),
+]
+
+MODEL_NAME = "classifier-direct-ll"
+
+
+def write_datasets(world, ontology, root: str, scale: float):
+    """Master split dirs: train-all / train-balanced / val / test h5 files
+    per (family, length); scenes are disjoint between train and val/test."""
+    from dfol_vqa_tpu.compiler.h5_codec import ProgramH5Codec
+
+    codec = ProgramH5Codec(ontology)
+    counts = {"all": int(500 * scale), "bal": int(320 * scale),
+              "val": int(96 * scale), "test": int(128 * scale)}
+    slices = {"all": (0.0, 0.85), "bal": (0.0, 0.85),
+              "val": (0.85, 0.925), "test": (0.925, 1.0)}
+    balanced = {"all": False, "bal": True, "val": True, "test": True}
+    made = {}
+    for split in counts:
+        d = os.path.join(root, f"data_{split}")
+        os.makedirs(d, exist_ok=True)
+        for fam in T4:
+            for L in (0, 1, 2):
+                qs = world.generate_family(
+                    fam, counts[split], length=L,
+                    seed=hash((split, fam, L)) % (2**31),
+                    balanced=balanced[split], image_slice=slices[split],
+                    id_prefix=f"{split}_{fam}_{L}_",
+                )
+                path = os.path.join(d, f"p_{split}_{fam}_{L}.h5")
+                codec.write_h5(qs, path)
+                made[(split, fam, L)] = path
+    return made
+
+
+def stage_dir(root, name, files):
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    for f in files:
+        dst = os.path.join(d, os.path.basename(f))
+        if not os.path.exists(dst):
+            os.symlink(os.path.abspath(f), dst)
+    return d
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--noise", type=float, default=0.35)
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="dataset size multiplier (0.25 for a quick pilot)")
+    ap.add_argument("--epoch-scale", type=float, default=1.0)
+    ap.add_argument("--out", default="/tmp/curriculum_run")
+    ap.add_argument("--json", default=None, help="artifact output path")
+    ap.add_argument("--stages", default=None, help="comma list, e.g. 0,1,2")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the default JAX backend (TPU if present); "
+                         "default forces CPU for a deterministic, tunnel-free run")
+    args = ap.parse_args(argv)
+
+    if not args.tpu:
+        # all three are needed — the axon TPU plugin ignores JAX_PLATFORMS
+        # alone (same recipe as tests/conftest.py)
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from dfol_vqa_tpu.data.planted import PlantedWorld
+    from dfol_vqa_tpu.experiments.experiment import GQAObjectBoxExperiment
+    from dfol_vqa_tpu.ontology import GQAOntology
+    from dfol_vqa_tpu.train.trainer import OP_INDEX
+
+    class PlantedCurriculumExperiment(GQAObjectBoxExperiment):
+        def __init__(self, world):
+            self._world = world
+
+        def build_features(self, cfg, logger):
+            return self._world
+
+    root = args.out
+    os.makedirs(root, exist_ok=True)
+    ontology = GQAOntology()
+    world = PlantedWorld(
+        ontology, box_dim=32, n_nouns=6, n_attrs=9, n_images=512,
+        min_objects=3, max_objects=8, noise=args.noise, seed=args.seed,
+        image_id_space="vocab",
+    )
+    print(f"[curriculum] planted world: nouns={world.nouns} "
+          f"categories={world.categories} noise={args.noise}", flush=True)
+
+    t0 = time.time()
+    made = write_datasets(world, ontology, root, args.scale)
+    print(f"[curriculum] datasets written in {time.time()-t0:.1f}s", flush=True)
+
+    # fixed full test set: all families, all lengths, unseen scenes
+    test_dir = stage_dir(root, "test_full",
+                         [made[("test", f, L)] for f in T4 for L in (0, 1, 2)])
+
+    experiment = PlantedCurriculumExperiment(world)
+    cfg_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "configs", "curriculum_training")
+    run_stages = ([int(s) for s in args.stages.split(",")]
+                  if args.stages else list(range(8)))
+
+    results = []
+    for st in STAGES:
+        i = st["i"]
+        if i not in run_stages:
+            continue
+        split = st["split"]
+        train_files = [made[(split, f, L)] for f in st["fams"] for L in st["lens"]]
+        val_files = [made[("val", f, L)] for f in st["fams"] for L in st["lens"]]
+        train_dir = stage_dir(root, f"train_cur{i}", train_files)
+        val_dir = stage_dir(root, f"val_cur{i}", val_files)
+
+        with open(os.path.join(cfg_dir, f"cur{i}_{MODEL_NAME}.yaml")) as f:
+            cfg = yaml.safe_load(f)
+        epochs = max(2, int(st["epochs"] * args.epoch_scale))
+        cfg.update(
+            train_path=train_dir, validation_path=val_dir, test_path=test_dir,
+            train_object_path=None, train_object_info_path=None,
+            word_embedding_file=None, image_path=None,
+            model_path=os.path.join(root, "runs"),
+            epoch_num=epochs, repetition_num=1,
+            train_batch_size=32, test_batch_size=64,
+            box_features_dim=32, oracle_input_dim=24, word_embedding_dim=16,
+            featurizer_layers_config=[],
+            attribute_network_layers_config=[16],
+            relation_network_layers_config=[16],
+            attention_transfer_state_dim=16,
+            learning_rate=st["lr"], dropout=0.0, weight_decay=1e-10,
+            ckeckpointing_frequency=10_000, verbose=False,
+            tpu={"max_object_num": 8, "rel_table_size": 4},
+        )
+
+        # -l best forwarding: seed this stage's best with the previous best
+        # (reference curriculum workflow, README.md:81-83)
+        ver_dir = os.path.join(root, "runs", MODEL_NAME, cfg["version"])
+        if i > 0 and results:
+            prev_ver = results[-1]["version"]
+            src = os.path.join(root, "runs", MODEL_NAME, prev_ver, "best")
+            dst = os.path.join(ver_dir, "best")
+            if os.path.isdir(src) and not os.path.isdir(dst):
+                shutil.copytree(src, dst)
+
+        t1 = time.time()
+        res = experiment.run(dict(cfg), is_training=True, load_model="best",
+                             seed=args.seed)
+        dt = time.time() - t1
+
+        err = np.asarray(res["test_error"], np.float64).flatten()
+        per_op = dict(zip(["over_all"] + list(OP_INDEX.keys()), err.tolist()))
+        acc = {k: round(1.0 - v, 4) for k, v in per_op.items()}
+        row = dict(
+            stage=i, version=cfg["version"], families=st["fams"],
+            lengths=list(st["lens"]), train_split=split, epochs=epochs,
+            learning_rate=st["lr"],
+            calibrator=bool(cfg.get("activate_attention_transfer")),
+            test_acc_overall=acc["over_all"],
+            test_acc_per_family={k: v for k, v in acc.items() if k != "over_all"},
+            seconds=round(dt, 1),
+        )
+        results.append(row)
+        print(f"[curriculum] stage {i} done in {dt:.0f}s: "
+              f"overall test acc={acc['over_all']:.4f}", flush=True)
+
+    artifact = dict(
+        world=dict(nouns=world.nouns,
+                   categories=[[c, o] for c, o in world.categories],
+                   n_images=512, noise=args.noise, box_dim=32,
+                   scale=args.scale, epoch_scale=args.epoch_scale),
+        test_set=dict(families=T4, lengths=[0, 1, 2],
+                      questions_per_file=int(128 * args.scale),
+                      scenes="held-out (image_slice 0.925-1.0)"),
+        stages=results,
+        trajectory=[r["test_acc_overall"] for r in results],
+        calibrator_gain=(
+            round(results[-1]["test_acc_overall"] - results[5]["test_acc_overall"], 4)
+            if len(results) == 8 else None),
+        total_seconds=round(time.time() - t0, 1),
+    )
+    out_json = args.json or os.path.join(root, "CURRICULUM.json")
+    with open(out_json, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"[curriculum] wrote {out_json}")
+    print(json.dumps({"trajectory": artifact["trajectory"],
+                      "calibrator_gain": artifact["calibrator_gain"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -111,3 +111,70 @@ def test_int8_feature_transfer_matches_f32(ontology):
     np.testing.assert_array_equal(
         batch.arrays["obj_geom"], np.asarray(batch.objects, np.float32)[..., -6:]
     )
+
+
+def test_int8_transfer_with_trained_weights_on_planted_features(ontology):
+    """Round-1 advisor follow-through: the answer-losslessness of the int8
+    transfer path must hold with TRAINED weights on concept-bearing features
+    (randomly-initialised params cannot detect feature destruction). Train
+    on the planted world until the oracle carries real signal, then compare
+    int8 vs f32 transfer on held-out scenes."""
+    from dfol_vqa_tpu.compiler.program_compiler import ProgramCompiler
+    from dfol_vqa_tpu.data.dataset import ProgramDataset
+    from dfol_vqa_tpu.data.device_prefetch import quantize_objects
+    from dfol_vqa_tpu.data.loader import BatchLoader
+    from dfol_vqa_tpu.data.planted import PlantedWorld
+
+    cfg = tiny_cfg(dropout=0.0, learning_rate=3e-3, weight_decay=0.0,
+                   oracle_input_dim=24, word_embedding_dim=16,
+                   attribute_network_layers_config=[16],
+                   relation_network_layers_config=[16])
+    cfg.tpu.max_object_num = 8
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    world = PlantedWorld(ontology, box_dim=cfg.box_features_dim, n_nouns=6,
+                         n_attrs=6, n_images=192, min_objects=3, max_objects=8,
+                         noise=0.05, seed=0)
+    compiler = ProgramCompiler(ontology, object_num=8, rel_slots=4)
+
+    def loader(qs, shuffle):
+        return BatchLoader([ProgramDataset(qs, ontology)], compiler, world, 32,
+                           8, shuffle=shuffle, prefetch=0)
+
+    trainer = VQATrainer(cfg, interp)
+    trainer._tx = build_optimizer(cfg, params)
+    opt_state = trainer._tx.init(params)
+    train_qs = world.generate_family("exist", 256, length=0, seed=2,
+                                     image_slice=(0.0, 0.8))
+    rng = jax.random.PRNGKey(0)
+    step = 0
+    while step < 600:
+        for batch in loader(train_qs, True):
+            if step >= 600:
+                break
+            fn = trainer._train_step(batch.spec)
+            params, opt_state, _, _, rng = fn(
+                params, opt_state, jnp.asarray(batch.objects),
+                jnp.asarray(batch.obj_mask),
+                {k: jnp.asarray(v) for k, v in batch.arrays.items()}, rng)
+            step += 1
+
+    test_qs = world.generate_family("exist", 64, length=0, seed=3,
+                                    image_slice=(0.8, 1.0))
+    agree = prob_delta = 0.0
+    n = matches = 0
+    for batch in loader(test_qs, False):
+        stepf = interp.step_packed(batch.spec, batch.meta, is_training=False)
+        mask, packed = jnp.asarray(batch.obj_mask), jnp.asarray(batch.packed)
+        out32 = stepf(params, jnp.asarray(batch.objects), mask, packed, None)
+        q8 = quantize_objects(batch.objects, batch.obj_scale)
+        out8 = stepf(params, jnp.asarray(q8), mask, packed, None)
+        p32 = np.exp(np.asarray(out32["log_probability"], np.float64))
+        p8 = np.exp(np.asarray(out8["log_probability"], np.float64))
+        prob_delta = max(prob_delta, float(np.abs(p32 - p8).max()))
+        agree += float(np.sum((p32 > 0.5) == (p8 > 0.5)))
+        matches += float(np.sum(np.asarray(out32["match"])))
+        n += p32.shape[0]
+    assert matches / n > 0.7, f"model failed to train (acc={matches/n})"
+    assert agree == n, f"int8 flipped {n - agree}/{n} trained-model answers"
+    assert prob_delta < 0.03, f"int8 prob delta {prob_delta} too large"

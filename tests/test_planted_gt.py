@@ -65,7 +65,7 @@ def _truth_tables(world, ontology, questions):
 
 
 @pytest.mark.parametrize("family", ALL_FAMILIES)
-@pytest.mark.parametrize("length", [0, 1])
+@pytest.mark.parametrize("length", [0, 1, 2])
 def test_perfect_oracle_matches_ground_truth(setup, ontology, family, length):
     cfg, interp, compiler, world = setup
     qs = world.generate_family(family, 32, length=length, seed=11, balanced=True)

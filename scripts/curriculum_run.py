@@ -137,18 +137,55 @@ def main(argv=None):
           f"categories={world.categories} noise={args.noise}", flush=True)
 
     t0 = time.time()
-    made = write_datasets(world, ontology, root, args.scale)
-    print(f"[curriculum] datasets written in {time.time()-t0:.1f}s", flush=True)
+    marker = os.path.join(root, ".datasets_done")
+    if os.path.exists(marker):
+        # deterministic path map — datasets were written by a previous
+        # invocation with the same args (subprocess-per-stage mode)
+        made = {
+            (split, fam, L): os.path.join(root, f"data_{split}",
+                                          f"p_{split}_{fam}_{L}.h5")
+            for split in ("all", "bal", "val", "test")
+            for fam in T4 for L in (0, 1, 2)
+        }
+    else:
+        made = write_datasets(world, ontology, root, args.scale)
+        with open(marker, "w") as f:
+            f.write("ok")
+        print(f"[curriculum] datasets written in {time.time()-t0:.1f}s", flush=True)
 
     # fixed full test set: all families, all lengths, unseen scenes
     test_dir = stage_dir(root, "test_full",
                          [made[("test", f, L)] for f in T4 for L in (0, 1, 2)])
 
-    experiment = PlantedCurriculumExperiment(world)
     cfg_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                            "configs", "curriculum_training")
-    run_stages = ([int(s) for s in args.stages.split(",")]
-                  if args.stages else list(range(8)))
+
+    if args.stages is None:
+        # Parent mode: run each stage in its OWN subprocess. Six stages of
+        # fresh Interpreters/jit caches in one process exhaust host memory
+        # (XLA executables are never dropped); per-stage isolation also
+        # mirrors how the reference curriculum is actually operated (one
+        # training job per stage config, README.md:81-83).
+        import subprocess
+
+        rows = []
+        for st in STAGES:
+            i = st["i"]
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--stages", str(i), "--out", root,
+                   "--noise", str(args.noise), "--scale", str(args.scale),
+                   "--epoch-scale", str(args.epoch_scale),
+                   "--seed", str(args.seed)] + (["--tpu"] if args.tpu else [])
+            proc = subprocess.run(cmd)
+            if proc.returncode != 0:
+                raise RuntimeError(f"curriculum stage {i} failed (rc={proc.returncode})")
+            with open(os.path.join(root, f"stage_{i}.json")) as f:
+                rows.append(json.load(f))
+        _write_artifact(args, world, rows, time.time() - t0)
+        return
+
+    experiment = PlantedCurriculumExperiment(world)
+    run_stages = [int(s) for s in args.stages.split(",")]
 
     results = []
     for st in STAGES:
@@ -184,8 +221,8 @@ def main(argv=None):
         # -l best forwarding: seed this stage's best with the previous best
         # (reference curriculum workflow, README.md:81-83)
         ver_dir = os.path.join(root, "runs", MODEL_NAME, cfg["version"])
-        if i > 0 and results:
-            prev_ver = results[-1]["version"]
+        if i > 0:
+            prev_ver = f"curriculum_{i - 1}"
             src = os.path.join(root, "runs", MODEL_NAME, prev_ver, "best")
             dst = os.path.join(ver_dir, "best")
             if os.path.isdir(src) and not os.path.isdir(dst):
@@ -209,9 +246,16 @@ def main(argv=None):
             seconds=round(dt, 1),
         )
         results.append(row)
+        with open(os.path.join(root, f"stage_{i}.json"), "w") as f:
+            json.dump(row, f, indent=1)
         print(f"[curriculum] stage {i} done in {dt:.0f}s: "
               f"overall test acc={acc['over_all']:.4f}", flush=True)
 
+    if len(run_stages) == 8:
+        _write_artifact(args, world, results, time.time() - t0)
+
+
+def _write_artifact(args, world, results, total_seconds):
     artifact = dict(
         world=dict(nouns=world.nouns,
                    categories=[[c, o] for c, o in world.categories],
@@ -225,9 +269,9 @@ def main(argv=None):
         calibrator_gain=(
             round(results[-1]["test_acc_overall"] - results[5]["test_acc_overall"], 4)
             if len(results) == 8 else None),
-        total_seconds=round(time.time() - t0, 1),
+        total_seconds=round(total_seconds, 1),
     )
-    out_json = args.json or os.path.join(root, "CURRICULUM.json")
+    out_json = args.json or os.path.join(args.out, "CURRICULUM.json")
     with open(out_json, "w") as f:
         json.dump(artifact, f, indent=1)
     print(f"[curriculum] wrote {out_json}")

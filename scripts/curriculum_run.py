@@ -113,6 +113,15 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
+    # share compiled executables across the per-stage subprocesses: the
+    # eval buckets (and most train buckets) have identical specs in every
+    # stage, so a persistent cache turns 8x repeated XLA compiles into one
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       os.path.join(args.out, "jit_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     from dfol_vqa_tpu.data.planted import PlantedWorld
     from dfol_vqa_tpu.experiments.experiment import GQAObjectBoxExperiment
     from dfol_vqa_tpu.ontology import GQAOntology

@@ -99,6 +99,9 @@ def main(argv=None):
     ap.add_argument("--json", default=None, help="artifact output path")
     ap.add_argument("--stages", default=None, help="comma list, e.g. 0,1,2")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--jit-cache", default="/tmp/dfol_jit_cache",
+                    help="persistent XLA compilation cache dir (shareable "
+                         "across runs; compiled code depends only on specs)")
     ap.add_argument("--tpu", action="store_true",
                     help="run on the default JAX backend (TPU if present); "
                          "default forces CPU for a deterministic, tunnel-free run")
@@ -118,8 +121,7 @@ def main(argv=None):
     # stage, so a persistent cache turns 8x repeated XLA compiles into one
     import jax as _jax
 
-    _jax.config.update("jax_compilation_cache_dir",
-                       os.path.join(args.out, "jit_cache"))
+    _jax.config.update("jax_compilation_cache_dir", args.jit_cache)
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from dfol_vqa_tpu.data.planted import PlantedWorld
@@ -184,7 +186,8 @@ def main(argv=None):
                    "--stages", str(i), "--out", root,
                    "--noise", str(args.noise), "--scale", str(args.scale),
                    "--epoch-scale", str(args.epoch_scale),
-                   "--seed", str(args.seed)] + (["--tpu"] if args.tpu else [])
+                   "--seed", str(args.seed),
+                   "--jit-cache", args.jit_cache] + (["--tpu"] if args.tpu else [])
             proc = subprocess.run(cmd)
             if proc.returncode != 0:
                 raise RuntimeError(f"curriculum stage {i} failed (rc={proc.returncode})")

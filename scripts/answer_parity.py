@@ -64,21 +64,34 @@ def _compare_batch(qs, cb, spec, ours, ref):
     ref_lp = ref["log_probability"].detach().numpy().flatten()
     flags = np.asarray(ours["answer_flags"])
     agree = n = 0
+    # the reference emits answers only with give_answer=True (eval); on the
+    # is_training leg agreement is derived from the log-probabilities
+    has_answers = all(len(ref["answer"][qi]) > 0 for qi in range(len(qs)))
     if qtype == QuestionType.QUERY:
-        flat = []
+        flat, offsets, off = [], [], 0
         for qi in range(len(qs)):
-            flat.extend(lp[qi, : len(cb.option_strings[qi])])
+            k = len(cb.option_strings[qi])
+            flat.extend(lp[qi, :k])
+            offsets.append((off, off + k))
+            off += k
         delta = float(np.max(np.abs(np.array(flat) - ref_lp)))
         for qi in range(len(qs)):
             k = len(cb.option_strings[qi])
-            mine = [cb.option_strings[qi][j] for j in range(k) if flags[qi, j]]
-            agree += int(mine == [str(x) for x in ref["answer"][qi]])
+            if has_answers:
+                mine = [cb.option_strings[qi][j] for j in range(k) if flags[qi, j]]
+                agree += int(mine == [str(x) for x in ref["answer"][qi]])
+            else:
+                lo, hi = offsets[qi]
+                agree += int(int(np.argmax(lp[qi, :k])) == int(np.argmax(ref_lp[lo:hi])))
             n += 1
     else:
         delta = float(np.max(np.abs(lp - ref_lp)))
         for qi in range(len(qs)):
-            mine = "yes" if flags[qi, 0] else "no"
-            agree += int(mine == str(ref["answer"][qi][0]))
+            if has_answers:
+                mine = "yes" if flags[qi, 0] else "no"
+                agree += int(mine == str(ref["answer"][qi][0]))
+            else:
+                agree += int((lp[qi] > np.log(0.5)) == (ref_lp[qi] > np.log(0.5)))
             n += 1
     return agree, n, delta
 
@@ -116,8 +129,9 @@ def run_plain_phase(ont, params, rng, per_op, batch, report):
                 "max_abs_logprob_delta": float(np.max(lp_deltas)) if lp_deltas else None,
             }
         )
-        total_match += agree
-        total_n += n
+        if not failed:
+            total_match += agree
+            total_n += n
     return total_match, total_n
 
 
@@ -165,8 +179,9 @@ def run_calibrator_phase(ont_dim, rng, per_op, batch, report):
                 "max_abs_logprob_delta": float(np.max(lp_deltas)) if lp_deltas else None,
             }
         )
-        total_match += agree
-        total_n += n
+        if not failed:
+            total_match += agree
+            total_n += n
     return total_match, total_n
 
 

@@ -152,6 +152,11 @@ def _collect_tokens(ref_ont, q):
     if last["operator"] in ("query_attr", "all_same", "all_different", "two_same", "two_different"):
         toks.extend(x for x in ref_ont.query(last["arguments"][0]) if isinstance(x, str))
     toks.append("entity")
+    # the reference strips negations BEFORE its meta_data embedding lookup
+    # (transform_attention detect_negations, batch_base_ops.py:440-444), so
+    # the base token must be registered alongside the raw "not(x)" form
+    toks.extend(t[4:-1] for t in list(toks)
+                if t.startswith("not(") and t.endswith(")"))
     return toks
 
 

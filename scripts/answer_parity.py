@@ -66,7 +66,9 @@ def _compare_batch(qs, cb, spec, ours, ref):
     agree = n = 0
     # the reference emits answers only with give_answer=True (eval); on the
     # is_training leg agreement is derived from the log-probabilities
-    has_answers = all(len(ref["answer"][qi]) > 0 for qi in range(len(qs)))
+    has_answers = len(ref["answer"]) >= len(qs) and all(
+        len(ref["answer"][qi]) > 0 for qi in range(len(qs))
+    )
     if qtype == QuestionType.QUERY:
         flat, offsets, off = [], [], 0
         for qi in range(len(qs)):

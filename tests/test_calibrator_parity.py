@@ -132,7 +132,15 @@ def run_reference(params, questions, objs, mask, counts, is_training):
         pb._device = torch.device("cpu")
         pb._meta_data = meta_data
     with torch.no_grad():
-        return interp(pbs, is_training)
+        # replicate the reference TRAINER's modulator rule (trainer.py:108 /
+        # data_pipeline.py:171): at eval the modulator is disabled for
+        # query/choose terminals — the rule our interpreter applies
+        # internally (models/interpreter.py open_terminal)
+        open_terminal = questions[0]["program"]["last_op"]["operator"] in (
+            "query_attr", "choose_attr", "choose_rel",
+        )
+        switch = is_training or not open_terminal
+        return interp(pbs, is_training, modulator_switch=switch)
 
 
 def _collect_tokens(ref_ont, q):

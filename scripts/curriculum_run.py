@@ -24,6 +24,7 @@ import os
 import shutil
 import sys
 import time
+import zlib
 
 import numpy as np
 import yaml
@@ -69,7 +70,9 @@ def write_datasets(world, ontology, root: str, scale: float):
             for L in (0, 1, 2):
                 qs = world.generate_family(
                     fam, counts[split], length=L,
-                    seed=hash((split, fam, L)) % (2**31),
+                    # deterministic across processes (builtin hash is
+                    # PYTHONHASHSEED-randomised)
+                    seed=zlib.crc32(f"{split}/{fam}/{L}".encode()) % (2**31),
                     balanced=balanced[split], image_slice=slices[split],
                     id_prefix=f"{split}_{fam}_{L}_",
                 )

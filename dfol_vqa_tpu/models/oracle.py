@@ -324,8 +324,15 @@ def rel_cache_shared(
         # already fast there.
         from dfol_vqa_tpu.ops.pallas.shared_contract import shared_contract_pallas
 
+        # the kernel is h2-gather bandwidth-bound (~B x O^2 x E bytes per
+        # batch); h2/e_sel stream at tpu.rel_stream_dtype (default bf16 —
+        # bit-identical to f32 storage at JAX's default TPU matmul
+        # precision, which decomposes f32 MXU operands to bf16 anyway,
+        # while halving the dominant HBM traffic). Accumulation stays fp32.
+        stream = jnp.dtype(cfg.tpu.rel_stream_dtype)
         return shared_contract_pallas(
-            h2, img_index, e_sel, b_sel, rel_tokens, default_ll
+            h2.astype(stream), img_index,
+            e_sel.astype(stream), b_sel, rel_tokens, default_ll
         )
 
     h2_q = jnp.take(h2, img_index, axis=0)  # (B, O, O, E) gather view

@@ -119,7 +119,8 @@ def _gc_bwd(static, res, g):
     dh2, desel_parts = jax.lax.map(per_image, jnp.arange(U))
     d_esel = jnp.sum(desel_parts, axis=0)
     d_bsel = jnp.sum(dlogits, axis=(2, 3))
-    return dh2, None, d_esel, d_bsel, None
+    # cotangent dtypes must match the (possibly bf16-streamed) primals
+    return dh2.astype(h2_u.dtype), None, d_esel.astype(e_sel.dtype), d_bsel, None
 
 
 _gather_contract.defvjp(_gc_fwd, _gc_bwd)
@@ -149,8 +150,9 @@ def shared_contract_pallas(
         # divisor whose double-buffered (tile, O_pad, E) band fits VMEM.
         O_pad = -(-O // 128) * 128
         tile = 8
+        itemsize = jnp.dtype(h2_u.dtype).itemsize
         for cand in (16, 32, 64, 128):
-            if cand > O_pad or 2 * cand * O_pad * E * 4 > _VMEM_BUDGET_BYTES:
+            if cand > O_pad or 2 * cand * O_pad * E * itemsize > _VMEM_BUDGET_BYTES:
                 break
             tile = cand
     else:

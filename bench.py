@@ -348,6 +348,58 @@ def measure_train_chunked(hops: int = 2, batch: int = 80, chunk: int = 10) -> fl
     return batch * chunk * iters / (time.time() - t0)
 
 
+def measure_train_device(hops: int = 2, batch: int = 80, k_small: int = 10,
+                         k_big: int = 40) -> float:
+    """Pure per-step DEVICE time for the fused train chunk: time a chunk of
+    k_big fused optimizer steps and a chunk of k_small, difference out the
+    per-dispatch RPC/transfer constant (same methodology as
+    measure_device). Returns train questions/sec of device capability."""
+    import jax
+    import jax.numpy as jnp
+
+    from dfol_vqa_tpu.train.optim import build_optimizer
+    from dfol_vqa_tpu.train.trainer import VQATrainer
+
+    global BATCH
+    old_batch = BATCH
+    BATCH = batch
+    try:
+        interp, batches = build_batches(hops, seed=1)
+    finally:
+        BATCH = old_batch
+    # true HOST snapshot: init_params returns device arrays, and device_put
+    # of an already-committed array is a no-copy alias that donation would
+    # delete
+    host_params = jax.tree_util.tree_map(
+        np.asarray, interp.init_params(jax.random.PRNGKey(0))
+    )
+    trainer = VQATrainer(interp.cfg, interp)
+    trainer._tx = build_optimizer(interp.cfg, host_params)
+    spec, obj, mask, arrays, meta, packed = batches[0]
+
+    times = {}
+    for chunk in (k_small, k_big):
+        objs = jnp.asarray(np.stack([obj] * chunk))
+        masks = jnp.asarray(np.stack([mask] * chunk))
+        packs = jnp.asarray(np.stack([packed] * chunk))
+        fn = trainer._train_step_chunk(spec, meta, chunk)
+        rng = jax.random.PRNGKey(0)
+        # fresh device copies per chunk length: the step donates p/o buffers
+        p = jax.device_put(host_params)
+        o = trainer._tx.init(p)
+        p, o, losses, _, rng = fn(p, o, objs, masks, packs, rng)
+        np.asarray(losses)  # warm + real completion barrier
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            p, o, losses, _, rng = fn(p, o, objs, masks, packs, rng)
+            np.asarray(losses)
+            reps.append(time.time() - t0)
+        times[chunk] = float(np.median(reps))
+    sec_per_step = (times[k_big] - times[k_small]) / (k_big - k_small)
+    return batch / max(sec_per_step, 1e-9)
+
+
 def main():
     baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
     baseline = None
@@ -424,6 +476,10 @@ def main():
     train_chunked_qps = float(np.median(
         [measure_train_chunked(hops=2, batch=80, chunk=10) for _ in range(2)]
     ))
+    try:
+        train_device_qps = measure_train_device(hops=2, batch=80)
+    except Exception:
+        train_device_qps = None
 
     base_1 = baseline["exist_1hop"]["questions_per_sec"] if baseline else None
     base_3 = baseline["exist_3hop_relational"]["questions_per_sec"] if baseline else None
@@ -455,6 +511,9 @@ def main():
             "device_kind": device_kind,
             "train_step_qps_batch80": round(train_qps, 2),
             "train_chunked10_qps_batch80": round(train_chunked_qps, 2),
+            "train_device_qps_batch80": (
+                round(train_device_qps, 2) if train_device_qps else None
+            ),
             "exist_3hop_batch256_qps": round(qps_large, 2),
             "exist_3hop_O100_qps": round(qps_full_o, 2),
             "exist_3hop_O100_transfer": "int8 (answer-lossless, test_bf16.py)",

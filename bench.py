@@ -349,7 +349,7 @@ def measure_train_chunked(hops: int = 2, batch: int = 80, chunk: int = 10) -> fl
 
 
 def measure_train_device(hops: int = 2, batch: int = 80, k_small: int = 10,
-                         k_big: int = 40) -> float:
+                         k_big: int = 130) -> float:
     """Pure per-step DEVICE time for the fused train chunk: time a chunk of
     k_big fused optimizer steps and a chunk of k_small, difference out the
     per-dispatch RPC/transfer constant (same methodology as
@@ -390,12 +390,14 @@ def measure_train_device(hops: int = 2, batch: int = 80, k_small: int = 10,
         p, o, losses, _, rng = fn(p, o, objs, masks, packs, rng)
         np.asarray(losses)  # warm + real completion barrier
         reps = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             p, o, losses, _, rng = fn(p, o, objs, masks, packs, rng)
             np.asarray(losses)
             reps.append(time.time() - t0)
-        times[chunk] = float(np.median(reps))
+        # min, not median: the long chunk's device time is a hard floor and
+        # tunnel-RTT spikes only ever add to it
+        times[chunk] = float(np.min(reps))
     sec_per_step = (times[k_big] - times[k_small]) / (k_big - k_small)
     return batch / max(sec_per_step, 1e-9)
 

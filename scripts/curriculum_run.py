@@ -152,6 +152,12 @@ def main(argv=None):
 
     t0 = time.time()
     marker = os.path.join(root, ".datasets_done")
+    stamp = f"scale={args.scale} noise={args.noise} seed={args.seed}"
+    if os.path.exists(marker) and open(marker).read() != stamp:
+        raise SystemExit(
+            f"{root} holds datasets for '{open(marker).read()}' but this run "
+            f"wants '{stamp}' — use a fresh --out dir"
+        )
     if os.path.exists(marker):
         # deterministic path map — datasets were written by a previous
         # invocation with the same args (subprocess-per-stage mode)
@@ -164,7 +170,7 @@ def main(argv=None):
     else:
         made = write_datasets(world, ontology, root, args.scale)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(stamp)
         print(f"[curriculum] datasets written in {time.time()-t0:.1f}s", flush=True)
 
     # fixed full test set: all families, all lengths, unseen scenes

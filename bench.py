@@ -187,6 +187,12 @@ PEAK_FLOPS_BF16 = [
     ("v5", 459e12), ("v4", 275e12), ("v3", 123e12), ("v2", 45e12),
 ]
 
+# per-chip HBM bandwidth (bytes/s) — the roofline's other axis
+PEAK_HBM_BW = [
+    ("v6", 1640e9), ("v5p", 2765e9), ("v5 lite", 819e9), ("v5e", 819e9),
+    ("v5", 2765e9), ("v4", 1228e9), ("v3", 900e9), ("v2", 700e9),
+]
+
 
 def _peak_flops(device_kind: str):
     dk = device_kind.lower()
@@ -196,8 +202,71 @@ def _peak_flops(device_kind: str):
     return None
 
 
+def _peak_bw(device_kind: str):
+    dk = device_kind.lower()
+    for sub, bw in PEAK_HBM_BW:
+        if sub in dk:
+            return bw
+    return None
+
+
+def measure_mfu_ladder(device_kind: str):
+    """Occupancy/MFU ladder + roofline attribution (VERDICT r2 item 3).
+
+    Device-time, achieved TFLOP/s, MFU, XLA bytes-accessed and arithmetic
+    intensity at batch {32, 256, 1024} x O {24, 100} for the 3-hop eval
+    step. ``bw_bound_mfu`` = intensity / (peak_flops / peak_bw) is the MFU
+    ceiling if the config were perfectly HBM-bandwidth-bound; achieved MFU
+    close to that ceiling means the config is bandwidth-bound (the model is
+    gather/elementwise-heavy), not underfilled."""
+    import gc
+
+    global BATCH, O_PAD, MIN_OBJ, MAX_OBJ
+    peak = _peak_flops(device_kind)
+    bw = _peak_bw(device_kind)
+    rows = []
+    for batch, o_pad, k_small, k_big in (
+        (32, 24, 8, 512), (256, 24, 4, 128), (1024, 24, 2, 34),
+        (32, 100, 4, 128), (256, 100, 2, 34), (1024, 100, 1, 9),
+    ):
+        BATCH, O_PAD, MIN_OBJ, MAX_OBJ = batch, o_pad, o_pad // 3, o_pad
+        try:
+            sec, flops, bytes_acc = measure_device(
+                hops=4, k_small=k_small, k_big=k_big, want_bytes=True
+            )
+        except Exception as e:
+            rows.append({"batch": batch, "O": o_pad, "error": str(e)[:200]})
+            continue
+        finally:
+            BATCH, O_PAD, MIN_OBJ, MAX_OBJ = 32, 24, 8, 24
+            gc.collect()
+        row = {
+            "batch": batch, "O": o_pad,
+            "device_ms_per_batch": round(sec * 1e3, 3),
+            "qps": round(batch / sec, 1),
+        }
+        if flops:
+            row["tflops_per_s"] = round(flops / sec / 1e12, 2)
+            if peak:
+                row["mfu"] = round(flops / sec / peak, 4)
+        if flops and bytes_acc:
+            intensity = flops / bytes_acc
+            row["bytes_per_batch"] = int(bytes_acc)
+            row["arith_intensity_flops_per_byte"] = round(intensity, 2)
+            if peak and bw:
+                ridge = peak / bw  # flops/byte at the roofline ridge point
+                row["bw_bound_mfu"] = round(min(1.0, intensity / ridge), 4)
+                row["achieved_frac_of_bw_bound"] = (
+                    round((flops / sec / peak) / min(1.0, intensity / ridge), 3)
+                    if intensity > 0 else None
+                )
+                row["hbm_gbps_achieved"] = round(bytes_acc / sec / 1e9, 1)
+        rows.append(row)
+    return rows
+
+
 def measure_device(hops: int, use_pallas=None, k_small: int = 8, k_big: int = 512,
-                   compute_dtype=None):
+                   compute_dtype=None, want_bytes: bool = False):
     """Pure per-batch DEVICE time + XLA flop count for the eval step.
 
     A lax.scan executes the step k times SEQUENTIALLY on device (a tiny
@@ -206,7 +275,9 @@ def measure_device(hops: int, use_pallas=None, k_small: int = 8, k_big: int = 51
     dispatch is ONE RPC either way, so
     (t(k_big) - t(k_small)) / (k_big - k_small) cancels the per-dispatch
     RPC/launch constant that dominates wall time on tunneled frontends.
-    Returns (seconds_per_batch, flops_per_batch_or_None)."""
+    Returns (seconds_per_batch, flops_per_batch_or_None) — or, with
+    ``want_bytes``, (sec, flops, bytes_accessed_or_None) so callers can
+    place the config on the HBM roofline."""
     import jax
     import jax.numpy as jnp
     from dfol_vqa_tpu.compiler.program_compiler import unpack_arrays
@@ -241,12 +312,14 @@ def measure_device(hops: int, use_pallas=None, k_small: int = 8, k_big: int = 51
 
         fns[k] = make(k)
 
-    flops = None
+    flops = bytes_acc = None
     try:
         cost = fns[1].lower(params, obj, mask, packed).compile().cost_analysis()
         c = cost[0] if isinstance(cost, (list, tuple)) else cost
         if c and "flops" in c:
             flops = float(c["flops"])
+        if c and "bytes accessed" in c:
+            bytes_acc = float(c["bytes accessed"])
     except Exception:
         pass
 
@@ -264,6 +337,8 @@ def measure_device(hops: int, use_pallas=None, k_small: int = 8, k_big: int = 51
             reps.append(time.perf_counter() - t0)
         times[k] = float(np.median(reps))
     sec_per_batch = max((times[k_big] - times[k_small]) / (k_big - k_small), 1e-9)
+    if want_bytes:
+        return sec_per_batch, flops, bytes_acc
     return sec_per_batch, flops
 
 
@@ -402,6 +477,79 @@ def measure_train_device(hops: int = 2, batch: int = 80, k_small: int = 10,
     return batch / max(sec_per_step, 1e-9)
 
 
+def measure_eval_epoch(eval_chunk: int, n_batches: int = 30,
+                       _cache: dict = {}) -> float:
+    """Wall-clock questions/sec of trainer.test_epoch over the tunnel with
+    the given tpu.eval_chunk — the r3 fused eval dispatch (VERDICT item 4:
+    eval paid a per-batch RPC round-trip; step_packed_many amortizes it)."""
+    import jax
+
+    from dfol_vqa_tpu.models.interpreter import Interpreter
+    from dfol_vqa_tpu.ontology import GQAOntology
+    from dfol_vqa_tpu.config import Config
+    from dfol_vqa_tpu.train.trainer import VQATrainer
+
+    if "batches" not in _cache:
+        _cache["batches"] = _rebuild_loader_batches(hops=4, seed=3,
+                                                    n_batches=n_batches)
+        cfg = Config()
+        cfg.tpu.max_object_num = O_PAD
+        _cache["interp"] = Interpreter(cfg, GQAOntology())
+
+    interp = _cache["interp"]
+    interp.cfg.tpu.eval_chunk = eval_chunk
+    params = jax.device_put(interp.init_params(jax.random.PRNGKey(0)))
+    trainer = VQATrainer(interp.cfg, interp)
+
+    class L:
+        def __iter__(self):
+            return iter(_cache["batches"])
+
+    loader = L()
+    trainer.test_epoch(loader, params)  # compile + warm
+    t0 = time.time()
+    trainer.test_epoch(loader, params)
+    dt = time.time() - t0
+    return n_batches * BATCH / dt
+
+
+def _rebuild_loader_batches(hops: int, seed: int, n_batches: int):
+    from dfol_vqa_tpu.compiler.program_compiler import ProgramCompiler
+    from dfol_vqa_tpu.config import Config
+    from dfol_vqa_tpu.data.dataset import ProgramDataset
+    from dfol_vqa_tpu.data.features import SyntheticFeatures
+    from dfol_vqa_tpu.data.loader import BatchLoader
+    from dfol_vqa_tpu.models.interpreter import Interpreter
+    from dfol_vqa_tpu.ontology import GQAOntology
+
+    cfg = Config()
+    cfg.tpu.max_object_num = O_PAD
+    ont = GQAOntology()
+    rng = np.random.default_rng(seed)
+    nouns = [t for t in ont._nouns if t in ont._arg_to_idx]
+    adjs = [t for t in ont._adjectives if t in ont._arg_to_idx]
+    rels = [t for t in ont._relations if t in ont._arg_to_idx]
+
+    def program(i):
+        ops = [{"operator": "select", "arguments": [str(rng.choice(nouns))]}]
+        for h in range(hops - 1):
+            if h % 2 == 1:
+                ops.append({"operator": "relate",
+                            "arguments": [str(rng.choice(rels)), True, str(rng.choice(nouns))]})
+            else:
+                ops.append({"operator": "filter", "arguments": [str(rng.choice(adjs))]})
+        return {"program": {"branches": [ops], "last_op": {"operator": "exist", "arguments": []}},
+                "answer": "yes", "imageId": f"img{i // 10}", "question_id": f"q{i}"}
+
+    qs = [program(i) for i in range(BATCH * n_batches)]
+    ds = ProgramDataset(qs, ont)
+    compiler = ProgramCompiler(ont, object_num=O_PAD, rel_slots=cfg.tpu.rel_table_size)
+    feats = SyntheticFeatures(box_dim=cfg.box_features_dim, min_objects=MIN_OBJ,
+                              max_objects=MAX_OBJ, seed=seed)
+    loader = BatchLoader([ds], compiler, feats, BATCH, O_PAD, shuffle=False, prefetch=0)
+    return list(loader)
+
+
 def main():
     baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
     baseline = None
@@ -478,34 +626,69 @@ def main():
     train_chunked_qps = float(np.median(
         [measure_train_chunked(hops=2, batch=80, chunk=10) for _ in range(2)]
     ))
+    # eval-epoch dispatch fusion (tpu.eval_chunk, r3): same loader, chunked
+    # vs per-batch trainer.test_epoch through the tunnel
+    try:
+        eval_epoch_qps_chunk1 = measure_eval_epoch(eval_chunk=1)
+        eval_epoch_qps_chunk8 = measure_eval_epoch(eval_chunk=8)
+    except Exception:
+        eval_epoch_qps_chunk1 = eval_epoch_qps_chunk8 = None
     try:
         train_device_qps = measure_train_device(hops=2, batch=80)
     except Exception:
         train_device_qps = None
+    # train-side occupancy ladder point: does a big batch lift device-side
+    # training throughput the way it lifts eval? (VERDICT r2 item 3)
+    try:
+        train_device_qps_512 = measure_train_device(
+            hops=2, batch=512, k_small=4, k_big=34
+        )
+    except Exception:
+        train_device_qps_512 = None
 
     base_1 = baseline["exist_1hop"]["questions_per_sec"] if baseline else None
     base_3 = baseline["exist_3hop_relational"]["questions_per_sec"] if baseline else None
 
+    # occupancy/MFU ladder + roofline (VERDICT r2 item 3); the headline
+    # becomes the best O=24 device-side point on the ladder (the batch size
+    # that saturates the chip), not the batch-32 underfill point
+    mfu_ladder = measure_mfu_ladder(device_kind)
+    best24 = max(
+        (r for r in mfu_ladder if r.get("O") == 24 and "qps" in r),
+        key=lambda r: r["qps"], default=None,
+    )
+    headline_qps = best24["qps"] if best24 else dev_qps_3hop
+    headline_batch = best24["batch"] if best24 else BATCH
+
     result = {
         # Headline = per-chip DEVICE capability (scan-length differencing,
         # RPC constant cancelled): what a production TPU host's local-DMA
-        # feed sustains. End-to-end streaming through this dev tunnel is
-        # reported in extras — it measures the tunnel's ~110 MB/s link,
-        # not the framework (methodology_note).
-        "metric": "GQA eval questions/sec/chip, device time (exist 3-hop "
-                  "relational, batch 32, O=24, production dims)",
-        "value": round(dev_qps_3hop, 2),
+        # feed sustains, at the ladder's saturating batch size. End-to-end
+        # streaming through this dev tunnel is reported in extras — it
+        # measures the tunnel's ~110 MB/s link, not the framework
+        # (methodology_note).
+        "metric": f"GQA eval questions/sec/chip, device time (exist 3-hop "
+                  f"relational, batch {headline_batch}, O=24, production dims)",
+        "value": round(headline_qps, 2),
         "unit": "questions/sec",
-        "vs_baseline": round(dev_qps_3hop / base_3, 2) if base_3 else None,
+        # ADVICE r2: same-boundary ratio — our tunnel-streamed end-to-end
+        # qps over the reference PyTorch CPU end-to-end qps. The
+        # device-capability-over-CPU-e2e ratio (mismatched boundaries, the
+        # r2 headline) is reported under its own name in extras.
+        "vs_baseline": round(qps_3hop / base_3, 2) if base_3 else None,
         # headline train metric (production recipe: train_chunk=8, batch 80)
         "train_qps_chunked": round(train_chunked_qps, 2),
         "extras": {
+            "mfu_ladder": mfu_ladder,
+            "device_vs_baseline_e2e": (
+                round(headline_qps / base_3, 2) if base_3 else None
+            ),
+            "exist_3hop_device_qps_batch32": round(dev_qps_3hop, 2),
             "exist_1hop_stream_qps": round(qps_1hop, 2),
             "exist_1hop_stream_vs_baseline": round(qps_1hop / base_1, 2) if base_1 else None,
             "exist_1hop_int8_transfer_qps": round(qps_int8, 2),
             "exist_3hop_relational_qps": round(qps_3hop, 2),
             "exist_3hop_relational_vs_baseline": round(qps_3hop / base_3, 2) if base_3 else None,
-            "exist_3hop_device_qps": round(dev_qps_3hop, 2),
             "exist_3hop_device_ms_per_batch": round(dev_sec_3hop * 1e3, 3),
             "device_time_frac": round(device_time_frac, 4),
             "model_tflops_per_s": tflops,
@@ -516,6 +699,15 @@ def main():
             "train_device_qps_batch80": (
                 round(train_device_qps, 2) if train_device_qps else None
             ),
+            "train_device_qps_batch512": (
+                round(train_device_qps_512, 2) if train_device_qps_512 else None
+            ),
+            "eval_epoch_qps_chunk1": (
+                round(eval_epoch_qps_chunk1, 2) if eval_epoch_qps_chunk1 else None
+            ),
+            "eval_epoch_qps_chunk8": (
+                round(eval_epoch_qps_chunk8, 2) if eval_epoch_qps_chunk8 else None
+            ),
             "exist_3hop_batch256_qps": round(qps_large, 2),
             "exist_3hop_O100_qps": round(qps_full_o, 2),
             "exist_3hop_O100_transfer": "int8 (answer-lossless, test_bf16.py)",
@@ -524,15 +716,22 @@ def main():
             "pallas_vs_xla": pallas_vs_xla,
             "baseline_source": "BASELINE_MEASURED.json (reference PyTorch CPU)",
             "methodology_note": (
-                "round-2 fix: under the axon remote frontend "
-                "block_until_ready resolves on ENQUEUE; round-1 streaming "
-                "numbers partly measured enqueue rate. All barriers are now "
-                "host readbacks. The HEADLINE is the per-chip device "
-                "capability via scan-length differencing (cancels the "
-                "~30 ms tunnel RTT) — what a production host's local DMA "
-                "feeds; device_time_frac shows this dev tunnel sustains "
-                "<1% duty cycle, so the *_stream_qps extras measure the "
-                "~110 MB/s shared link, not the framework."
+                "All barriers are host readbacks (under the axon remote "
+                "frontend block_until_ready resolves on ENQUEUE). The "
+                "HEADLINE VALUE is per-chip device capability via "
+                "scan-length differencing (cancels the ~30 ms tunnel RTT) "
+                "at the mfu_ladder's saturating O=24 batch size — what a "
+                "production host's local DMA feeds; device_time_frac shows "
+                "this dev tunnel sustains <1% duty cycle, so *_stream_qps "
+                "extras measure the ~110 MB/s shared link, not the "
+                "framework. vs_baseline (r3, renamed semantics per ADVICE) "
+                "is the SAME-BOUNDARY ratio: tunnel-streamed e2e qps over "
+                "reference PyTorch CPU e2e qps; the device-capability-over-"
+                "CPU-e2e ratio is extras.device_vs_baseline_e2e. mfu_ladder "
+                "rows place each config on the HBM roofline: bw_bound_mfu "
+                "is the MFU ceiling at that arithmetic intensity; achieved_"
+                "frac_of_bw_bound ~ 1.0 means bandwidth-bound, << 1 means "
+                "underfill/latency-bound."
             ),
         },
     }

@@ -48,14 +48,23 @@ class TPUConfig:
     # dispatch (lax.scan); amortizes per-dispatch RPC on remote frontends
     # (~4x train throughput on the remote-TPU frontend, BENCH r1/r2). The
     # production default; checkpointing triggers at chunk boundaries so
-    # fusion is never broken. Set to 1 to dispatch per step. Ignored (=1)
-    # under a device mesh (the chunk axis must not shard).
+    # fusion is never broken. Set to 1 to dispatch per step. Composes with
+    # a device mesh: the chunk (scan) axis stays unsharded while the
+    # per-step batch axes shard over 'data' (parallel/mesh.py
+    # shard_train_chunk; chunked+sharded == unsharded sequence, tested).
+    eval_chunk: int = 8  # same-bucket eval batches fused into one device
+    # dispatch (interpreter.step_packed_many lax.scan) in test_epoch /
+    # predict — the eval-side analog of train_chunk; amortizes the
+    # per-dispatch RPC on remote frontends. 1 = dispatch per batch.
     rel_block_size: int = 0  # 0 = no chunking of the O^2 relation pass
     donate_state: bool = True
     fsdp: bool = False  # ZeRO-3 analog: shard params/optimizer state over
     # the data axis (parallel/mesh.py param_sharding); all-gather-on-use
     loader_workers: int = 0  # >0: fork that many batch-producer processes
     # (host compile/collate is GIL-bound; see data/loader.py)
+    async_save: bool = True  # overlap checkpoint file writes with the next
+    # train chunk (train/checkpoint.py wait_pending drains; crash-saves are
+    # always synchronous). Host snapshot stays synchronous — donation safety.
     checkpoint_backend: str = "npz"  # "npz" (single atomic file) or "orbax"
     # (directory; async/multi-host-friendly — each host writes only its
     # addressable shards); load() auto-detects either format

@@ -17,6 +17,7 @@ end-to-end on synthetic data.
 
 from __future__ import annotations
 
+import zlib
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -35,7 +36,10 @@ ALL_FAMILIES = (
 )
 
 
-def _strip_neg(tok: str) -> Tuple[str, bool]:
+def _strip_neg(tok) -> Tuple[object, bool]:
+    # Non-string tokens (None, wildcard sentinels) carry no negation.
+    if not isinstance(tok, str):
+        return tok, False
     if tok.startswith("not(") and tok.endswith(")"):
         return tok[4:-1], True
     return tok, False
@@ -66,6 +70,7 @@ class PlantedWorld(FeatureSource):
         questions survive the H5 int codec (encode_img_id needs vocabulary
         membership); 'planted' keeps the legacy synthetic names."""
         self.box_dim = box_dim
+        self._seed = seed
         rng = np.random.default_rng(seed)
         self._rng = rng
         nouns = [t for t in ontology._nouns if t in ontology._arg_to_idx]
@@ -129,7 +134,12 @@ class PlantedWorld(FeatureSource):
         for ci, (_, opts) in enumerate(self.categories):
             onehot[np.arange(n), off + s["cat_vals"][:, ci]] = 1.0
             off += len(opts)
-        h = abs(hash(("noise", image_id))) % (2**32)
+        # Process-independent noise seed: builtin hash() is PYTHONHASHSEED-
+        # randomized across interpreters, which would give the subprocess-per-
+        # stage curriculum a different noise realization of the same scene in
+        # every stage. crc32 is stable everywhere; fold in the world seed so
+        # distinct worlds get distinct noise streams.
+        h = (zlib.crc32(f"noise/{image_id}".encode()) ^ (self._seed * 0x9E3779B1)) % (2**32)
         nrng = np.random.default_rng(h)
         feats = onehot @ self._codebook + self._noise * nrng.standard_normal(
             (n, self.box_dim)
@@ -259,14 +269,25 @@ class PlantedWorld(FeatureSource):
         counts = np.bincount(s["noun_ids"], minlength=len(self.nouns))
         return [o for o in range(s["n"]) if counts[s["noun_ids"][o]] == 1]
 
-    def _pin_branch(self, rng, s, obj: int, length: int) -> List[dict]:
+    def _pin_branch(self, rng, s, obj: int, length: int,
+                    exclude_cat: Optional[int] = None) -> List[dict]:
         """select+filters branch that evaluates to exactly {obj} under
-        eval_branch; filters use the object's own category values."""
+        eval_branch; filters use the object's own category values.
+
+        `exclude_cat` bars a category from the filter pool so the queried/
+        compared category's value never appears verbatim in the program (the
+        model could otherwise read the answer off the question tokens). When
+        exclusion empties the pool, the object's own noun is used as the
+        filter token — still pinning, never leaking."""
         noun = self.nouns[s["noun_ids"][obj]]
         ops = [{"operator": "select", "arguments": [noun]}]
+        pool = [ci for ci in range(len(self.categories)) if ci != exclude_cat]
         for _ in range(length):
-            ci = int(rng.integers(0, len(self.categories)))
-            val = self.categories[ci][1][s["cat_vals"][obj, ci]]
+            if pool:
+                ci = int(rng.choice(pool))
+                val = self.categories[ci][1][s["cat_vals"][obj, ci]]
+            else:
+                val = noun
             ops.append({"operator": "filter", "arguments": [str(val)]})
         return ops
 
@@ -370,11 +391,13 @@ class PlantedWorld(FeatureSource):
                 if not uniq:
                     continue
                 obj = int(rng.choice(uniq))
-                ops = self._pin_branch(rng, s, obj, length)
+                # Pick the queried category FIRST and exclude it from the pin
+                # filters, so the answer never appears verbatim in the program.
                 ci = int(rng.integers(0, len(self.categories)))
                 cat_name, opts = self.categories[ci]
                 if len(opts) < 2:
                     continue
+                ops = self._pin_branch(rng, s, obj, length, exclude_cat=ci)
                 val = opts[s["cat_vals"][obj, ci]]
                 if terminal == "query_attr":
                     if balanced and opts.index(val) != rotate % len(opts):
@@ -423,8 +446,8 @@ class PlantedWorld(FeatureSource):
                 ok = same if terminal == "two_same" else not same
                 ans = "yes" if ok else "no"
                 if take_binary(ans):
-                    emit([self._pin_branch(rng, s, o1, length),
-                          self._pin_branch(rng, s, o2, length)],
+                    emit([self._pin_branch(rng, s, o1, length, exclude_cat=ci),
+                          self._pin_branch(rng, s, o2, length, exclude_cat=ci)],
                          {"operator": terminal, "arguments": [cat_name]}, ans)
 
             elif terminal in ("all_same", "all_different"):
@@ -458,8 +481,8 @@ class PlantedWorld(FeatureSource):
                 # log_parametric_not alpha flip, batch_gqa_ops.py:736-739)
                 winner = o2 if is_less else o1
                 ans = self.nouns[s["noun_ids"][winner]]
-                emit([self._pin_branch(rng, s, o1, length),
-                      self._pin_branch(rng, s, o2, length)],
+                emit([self._pin_branch(rng, s, o1, length, exclude_cat=ci),
+                      self._pin_branch(rng, s, o2, length, exclude_cat=ci)],
                      {"operator": "compare", "arguments": [str(attr), is_less]}, ans)
 
             else:

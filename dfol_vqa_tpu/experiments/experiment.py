@@ -176,6 +176,8 @@ class ExperimentBase:
             "train_error": train_error,
             "test_error": test_error,
             "test_time": test_time,
+            # per-bucket test question counts (0 = empty bucket, no signal)
+            "test_counts": getattr(trainer, "last_test_counts", None),
         }
 
 

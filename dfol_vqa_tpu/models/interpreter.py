@@ -398,6 +398,15 @@ class Interpreter:
         options = arrays["options"]
         ones = lambda x: jnp.ones(x.shape[:-1], x.dtype)
 
+        # Reference hard-mode quirk, mirrored for parity: GQAQueryAttrBatch
+        # (batch_gqa_ops.py:304-305), GQAAllDifferentBatch (:627-628) and
+        # GQATwoDifferentBatch (:702-703) drop the hard_mode argument when
+        # delegating to their inner op, so these three terminals always
+        # aggregate softly even with hard_mode=True (pinned by the
+        # hard-mode legs of scripts/answer_parity.py).
+        if term in ("query_attr", "all_different", "two_different"):
+            hard = False
+
         if term == "exist" or term == "end":
             att = atts[0]
             return _log_probability(att, ones(att), mask, hard)
@@ -543,18 +552,50 @@ class Interpreter:
 
         if term == "object_rel":
             # listed-pair relation statements (GQAObjectRelBatch,
-            # batch_gqa_ops.py:851-870): FOR_ALL sets collapse to the pair's
-            # relation score modulo the reference's exp/log saturation
+            # batch_gqa_ops.py:851-870). Reference semantics, exactly:
+            # statement k's relation token is scored against EVERY listed
+            # pair of its question (classifier_oracle.py:115-137 scatters
+            # each relation row over all pair positions), the scores are
+            # cluster-normalised ACROSS the question's relation statements
+            # per pair (the ClusteredLogSoftmax leg), unlisted (i, j) get
+            # default_log_likelihood=0 (:858 — log 1, the FOR_ALL identity),
+            # and a FOR_ALL x FOR_ALL relate update precedes the FOR_ALL
+            # aggregation of the subject set (:860). Note the reference's
+            # give_answer leg crashes upstream (:870 `range(relation_list)`
+            # on a list), so parity is pinned on the training leg
+            # (scripts/answer_parity.py supervision phase).
             from dfol_vqa_tpu.models.oracle import rel_scores_for_pairs
+            from dfol_vqa_tpu.ops.cells import normalize_over_options, relate_update
 
             pair = jnp.stack([arrays["stmt_obj"], arrays["stmt_obj2"]], axis=-1)
             scores = rel_scores_for_pairs(params, world.attr_in, world.pos, pair, cfg)
-            tok0 = jnp.clip(jnp.abs(options) - 1, 0)
-            lp = jnp.take_along_axis(scores, tok0[:, :, None], axis=2)[..., 0]
-            lp = _apply_option_negation(lp, options)
-            # FOR_ALL aggregation roundtrips (lpn(x, 0) twice)
-            lp = logic.log_parametric_not(logic.log_parametric_not(lp, 0.0, 1.0), 0.0, 1.0)
-            return lp
+            tok0 = jnp.clip(jnp.abs(options) - 1, 0)  # (B, K) statement tokens
+            B, K = tok0.shape
+            # sc[b, k, p] = score of statement k's token on listed pair p
+            sc = jnp.take_along_axis(
+                jnp.broadcast_to(scores[:, None], (B, K) + scores.shape[1:]),
+                jnp.broadcast_to(tok0[:, :, None, None], (B, K, scores.shape[1], 1)),
+                axis=3,
+            )[..., 0]
+            sc = normalize_over_options(sc, opt_mask, enabled=cfg.normalize_oracle)
+            sc = _apply_option_negation(sc, options)
+            O = mask.shape[-1]
+            # scatter into (B, K, O, O) at the listed pair positions; pad
+            # pair slots contribute 0 (the default) — their (0, 0) target is
+            # the diagonal relate_update already excludes
+            sc = sc * opt_mask[:, None, :]
+            b_ix = jnp.arange(B)[:, None, None]
+            k_ix = jnp.arange(K)[None, :, None]
+            ll = jnp.zeros((B, K, O, O), sc.dtype).at[
+                b_ix, k_ix, arrays["stmt_obj"][:, None, :], arrays["stmt_obj2"][:, None, :]
+            ].set(sc)
+            zeros_att = jnp.zeros((B, K, O), sc.dtype)
+            q_all = jnp.zeros((B, K), sc.dtype)  # FOR_ALL
+            subj2, _obj2 = relate_update(
+                zeros_att, zeros_att, ll, q_all, q_all, mask,
+                gates=(gates["relate0"], gates["relate1"]) if gates else None,
+            )
+            return _log_probability(subj2, q_all, mask, hard)
 
         if term == "scene":
             # full scene-graph supervision (GQASceneOpBatch,
@@ -827,10 +868,14 @@ class Interpreter:
                     o, m, p = xs
                     arrays = unpack_arrays(p, meta)
                     out = self.forward(params, o, m, arrays, spec, is_training, None)
-                    return carry, (out["log_probability"], out["match"])
+                    return carry, (out["log_probability"], out["match"],
+                                   out["answer_flags"])
 
-                _, (lp, match) = jax.lax.scan(body, None, (objects, obj_mask, packed))
-                return {"log_probability": lp, "match": match}
+                _, (lp, match, flags) = jax.lax.scan(
+                    body, None, (objects, obj_mask, packed)
+                )
+                return {"log_probability": lp, "match": match,
+                        "answer_flags": flags}
 
             self._step_cache[key] = fn
         return self._step_cache[key]

@@ -283,6 +283,19 @@ def rel_cache_shared(
     compute_dtype = jnp.dtype(cfg.tpu.compute_dtype)
 
     U, O, d_att = attr_in_u.shape
+    use_kernel = cfg.tpu.use_pallas and O >= 64 and jax.default_backend() == "tpu"
+    if use_kernel:
+        # Pad the OBJECT axis to the kernel's 128-lane alignment BEFORE the
+        # pair MLP and emit h2 directly in the stream dtype: the O100
+        # decomposition (O100_DECOMPOSE.json) showed the separate
+        # f32->bf16 cast + pad pass over the (U, O, O, E) intermediate cost
+        # ~0.14 ms/batch — comparable to the contract kernel itself. Padded
+        # rows produce garbage h2 values; the executor masks pad objects
+        # everywhere downstream, and parity slices [:O, :O].
+        O_pad = -(-O // 128) * 128
+        if O_pad != O:
+            attr_in_u = jnp.pad(attr_in_u, ((0, 0), (0, O_pad - O), (0, 0)))
+            pos_u = jnp.pad(pos_u, ((0, 0), (0, O_pad - O), (0, 0)))
     geom = pair_geometry(pos_u)
 
     layers = rp["layers"]
@@ -308,13 +321,7 @@ def rel_cache_shared(
             h.astype(compute_dtype), lp["w"].astype(compute_dtype),
             preferred_element_type=jnp.float32,
         ) + lp["b"]
-    h2 = jax.nn.sigmoid(h)  # (U, O, O, E) shared pair code
-
-    tok0 = jnp.clip(rel_tokens - 1, 0)
-    e_sel = jnp.take(emb_w.T, tok0, axis=0)  # (B, R, E)
-    b_sel = jnp.take(emb_b, tok0, axis=0)  # (B, R)
-
-    if cfg.tpu.use_pallas and O >= 64 and jax.default_backend() == "tpu":
+    if use_kernel:
         # fused gather+contract kernel: the per-question step below
         # materialises a (B, O, O, E) gather in HBM — ~30x the bytes of the
         # (B, R, O, O) result and the round-1 O=100 throughput collapse;
@@ -329,11 +336,22 @@ def rel_cache_shared(
         # bit-identical to f32 storage at JAX's default TPU matmul
         # precision, which decomposes f32 MXU operands to bf16 anyway,
         # while halving the dominant HBM traffic). Accumulation stays fp32.
+        # The cast fuses into the sigmoid epilogue: h2 is materialised ONCE,
+        # already padded and in the stream dtype (see the pad above).
         stream = jnp.dtype(cfg.tpu.rel_stream_dtype)
+        h2 = jax.nn.sigmoid(h).astype(stream)
+        tok0 = jnp.clip(rel_tokens - 1, 0)
+        e_sel = jnp.take(emb_w.T, tok0, axis=0).astype(stream)
+        b_sel = jnp.take(emb_b, tok0, axis=0)
         return shared_contract_pallas(
-            h2.astype(stream), img_index,
-            e_sel.astype(stream), b_sel, rel_tokens, default_ll
+            h2, img_index, e_sel, b_sel, rel_tokens, default_ll, valid_o=O
         )
+
+    h2 = jax.nn.sigmoid(h)  # (U, O, O, E) shared pair code
+
+    tok0 = jnp.clip(rel_tokens - 1, 0)
+    e_sel = jnp.take(emb_w.T, tok0, axis=0)  # (B, R, E)
+    b_sel = jnp.take(emb_b, tok0, axis=0)  # (B, R)
 
     h2_q = jnp.take(h2, img_index, axis=0)  # (B, O, O, E) gather view
     logits = (

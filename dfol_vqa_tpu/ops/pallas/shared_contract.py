@@ -135,14 +135,19 @@ def shared_contract_pallas(
     default_ll: float,
     tile: int = 0,
     interpret: bool = False,
+    valid_o: int = 0,
 ) -> jnp.ndarray:
     """(U, O, O, E) pair code + (B,) image map -> (B, R, O, O) likelihoods.
 
     Drop-in for the gather+einsum+log_sigmoid+pad tail of rel_cache_shared.
-    O is padded to a tile multiple internally; callers pass O-sized arrays.
+    O is padded to a tile multiple internally; callers pass O-sized arrays —
+    or, with ``valid_o=n``, PRE-padded arrays whose first n object rows are
+    real (the pad then happens upstream, fused into the pair MLP; the
+    result is sliced back to (B, R, n, n)).
     ``tile=0`` picks the largest row band that fits the VMEM budget.
     """
     U, O, _, E = h2_u.shape
+    out_o = valid_o if valid_o > 0 else O
     if tile <= 0:
         # Compiled (Mosaic) mode: the kernel's (R, TI*O_pad) -> (R, TI,
         # O_pad) minor-dim reshape requires a 128-aligned lane split, so O
@@ -166,4 +171,4 @@ def shared_contract_pallas(
         (tile, default_ll, interpret),
         h2_u, img_index.astype(jnp.int32), e_sel, b_sel, pad_mask,
     )
-    return out[:, :, :O, :O]
+    return out[:, :, :out_o, :out_o]

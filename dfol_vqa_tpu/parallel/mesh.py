@@ -149,3 +149,43 @@ def shard_train_step(step_fn, mesh: Mesh):
         return jitted(params, opt_state, objects, obj_mask, arrays, rng)
 
     return wrapped
+
+
+def chunk_batch_sharding(mesh: Mesh):
+    """Sharding for chunk-stacked batch tensors (leading axis = the lax.scan
+    chunk axis, which must NOT shard): the per-step axis (axis 1 — unique
+    images / questions) shards over 'data' when divisible, else replicated.
+
+    This is what lets ``tpu.train_chunk > 1`` (fused multi-step dispatch)
+    compose with a device mesh instead of silently dropping to per-step
+    dispatch: the scan body sees per-step tensors already sharded over
+    'data', and GSPMD inserts the same gradient psum it would for the
+    unchunked step."""
+    n_data = mesh.shape.get("data", 1)
+
+    def spec(x):
+        if np.ndim(x) < 2 or np.shape(x)[1] % n_data != 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(None, "data", *([None] * (np.ndim(x) - 2))))
+
+    return spec
+
+
+def shard_train_chunk(step_fn, mesh: Mesh):
+    """jit a fused-chunk (params, opt_state, objects, obj_mask, packed, rng)
+    step under the mesh. ``objects``/``obj_mask`` are (chunk, ...) stacks;
+    ``packed`` is the flat int32 program buffer stack (chunk, P) — its minor
+    axis is a serialization offset, not a batch axis, so it replicates and
+    GSPMD shards the unpacked per-step program tensors in-jit by
+    propagation from the objects' data-axis sharding."""
+    repl = NamedSharding(mesh, P())
+    chunk_spec = chunk_batch_sharding(mesh)
+    jitted = jax.jit(step_fn, donate_argnums=(0, 1))
+
+    def wrapped(params, opt_state, objects, obj_mask, packed, rng):
+        objects = jax.device_put(jnp.asarray(objects), chunk_spec(objects))
+        obj_mask = jax.device_put(jnp.asarray(obj_mask), chunk_spec(obj_mask))
+        packed = jax.device_put(jnp.asarray(packed), repl)
+        return jitted(params, opt_state, objects, obj_mask, packed, rng)
+
+    return wrapped

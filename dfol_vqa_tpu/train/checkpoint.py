@@ -55,13 +55,55 @@ def _set_path(tree, path, value) -> bool:
     return False
 
 
+# single background writer: serializes async checkpoint writes (successive
+# saves to the same path can never interleave) while the train loop runs on
+_WRITER = None
+_PENDING: list = []
+
+
+def _writer():
+    global _WRITER
+    if _WRITER is None:
+        import concurrent.futures
+
+        _WRITER = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt-writer"
+        )
+    return _WRITER
+
+
+def wait_pending():
+    """Block until all async checkpoint writes have completed (and re-raise
+    the first failure). Call before process exit / before a synchronous
+    crash-save so the final state on disk is well-defined."""
+    global _PENDING
+    pending, _PENDING = _PENDING, []
+    for f in pending:
+        f.result()
+
+
+def _write_npz(flat: Dict[str, np.ndarray], final: str):
+    tmp = final + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **flat)
+    os.replace(tmp, final)
+
+
 def save(export_path_base: str, name: str, params, global_step: int = 0,
-         backend: str = "npz"):
+         backend: str = "npz", async_write: bool = False):
     """Write params (+step) to ``export_path_base/name`` (.npz).
 
     Atomic: written to a temp file then renamed, so a crash/preemption
     mid-save never corrupts the previous checkpoint (the reference's
     try/finally crash-save, trainer.py:638-651, can truncate its file).
+
+    ``async_write=True`` overlaps the file write with the next train chunk:
+    the device->host snapshot is taken synchronously (the jitted train step
+    donates its params buffers, so deferring it would read freed memory),
+    then serialization + write happen on the single background writer
+    thread. ``wait_pending()`` drains. The snapshot is the cheap part —
+    the stall removed is the np.savez + fsync of the ~12 MB production
+    checkpoint at every ``checkpointing_frequency`` boundary.
 
     ``backend='orbax'`` writes an orbax PyTree checkpoint directory instead —
     the multi-host/async-friendly option for pod-scale runs (each host writes
@@ -72,10 +114,10 @@ def save(export_path_base: str, name: str, params, global_step: int = 0,
     flat = _flatten(jax.device_get(params))
     flat["__global_step__"] = np.asarray(global_step)
     final = os.path.join(export_path_base, name + ".npz")
-    tmp = final + ".tmp"
-    with open(tmp, "wb") as f:
-        np.savez(f, **flat)
-    os.replace(tmp, final)
+    if async_write:
+        _PENDING.append(_writer().submit(_write_npz, flat, final))
+        return
+    _write_npz(flat, final)
 
 
 def _save_orbax(export_path_base: str, name: str, params, global_step: int):

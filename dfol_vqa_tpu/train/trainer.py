@@ -142,7 +142,14 @@ class VQATrainer:
             )
             return params, opt_state, losses, matches, rng
 
-        fn = jax.jit(step, donate_argnums=(0, 1))
+        if self._mesh is not None:
+            # chunked dispatch composes with the mesh: the chunk (scan) axis
+            # stays unsharded, the per-step batch axes shard over 'data'
+            from dfol_vqa_tpu.parallel.mesh import shard_train_chunk
+
+            fn = shard_train_chunk(step, self._mesh)
+        else:
+            fn = jax.jit(step, donate_argnums=(0, 1))
         self._train_cache[key] = fn
         return fn
 
@@ -215,7 +222,9 @@ class VQATrainer:
         self._best_error = np.inf
 
         for rep in range(cfg.repetition_num):
-            # per-repetition checkpoint reload (trainer.py:625-633)
+            # per-repetition checkpoint reload (trainer.py:625-633); drain
+            # async writes first so the reload sees a complete file
+            ckpt.wait_pending()
             if load_model == "best" and best_export_path_base:
                 try:
                     params = self.load(best_export_path_base, params)
@@ -242,10 +251,9 @@ class VQATrainer:
                     # (a per-step host fetch would serialize the pipeline)
                     loss_acc: List = []
                     total_n = 0
-                    # chunked dispatch is host-loop fusion; under a mesh the
-                    # chunk-stacked tensors would shard on the wrong (chunk)
-                    # axis, so the sharded path stays one-step-per-dispatch
-                    chunk = max(1, cfg.tpu.train_chunk) if self._mesh is None else 1
+                    # chunked dispatch composes with the mesh (r3): the chunk
+                    # axis is never sharded (parallel/mesh.py shard_train_chunk)
+                    chunk = max(1, cfg.tpu.train_chunk)
                     pending_chunk: List = []
 
                     def flush_chunk():
@@ -337,11 +345,14 @@ class VQATrainer:
                 finally:
                     if last_export_path_base:
                         try:
-                            self._save(last_export_path_base, params)
+                            # crash path must leave a complete file behind:
+                            # drain async writes, then save synchronously
+                            ckpt.wait_pending()
+                            self._save(last_export_path_base, params, sync=True)
                         except Exception:
                             # params referenced donated (invalidated) buffers;
                             # fall back to the last known-valid host snapshot
-                            self._save(last_export_path_base, crash_backup)
+                            self._save(last_export_path_base, crash_backup, sync=True)
                 # best selection is only meaningful when validation ran —
                 # otherwise errors[] is identically zero and the first epoch
                 # would pin _best_error to 0.0 forever
@@ -360,6 +371,7 @@ class VQATrainer:
                         losses[epoch, rep], time.time() - start,
                     )
 
+        ckpt.wait_pending()  # all async checkpoint writes durable before return
         if best_export_path_base:
             base = os.path.relpath(best_export_path_base)
             np.save(os.path.join(base, "losses"), losses, allow_pickle=False)
@@ -368,24 +380,69 @@ class VQATrainer:
 
     # ------------------------------------------------------------------- test
 
+    def _eval_chunked(self, loader: BatchLoader, params):
+        """Iterate eval batches, fusing runs of same-bucket batches into one
+        scan dispatch (`tpu.eval_chunk`, interpreter.step_packed_many) —
+        the eval analog of chunked training: per-batch dispatch pays an RPC
+        round-trip per batch on remote frontends (reference trainer.py:
+        685-720 looped per batch; fine on local CUDA, not over a tunnel).
+
+        Yields (batch, out_dict) with device-array values (host sync is the
+        caller's choice)."""
+        from dfol_vqa_tpu.data.device_prefetch import device_prefetch
+
+        chunk = max(1, self.cfg.tpu.eval_chunk)
+        buf: List = []
+        results: List = []
+
+        def flush():
+            if not buf:
+                return
+            if len(buf) == 1:
+                batch, o, m, p = buf[0]
+                out = self._eval_step(batch.spec, batch.meta)(params, o, m, p)
+                results.append((batch, out))
+            else:
+                b0 = buf[0][0]
+                objs = jnp.stack([x[1] for x in buf])
+                masks = jnp.stack([x[2] for x in buf])
+                packs = jnp.stack([x[3] for x in buf])
+                fn = self.interp.step_packed_many(b0.spec, b0.meta, False)
+                out = fn(params, objs, masks, packs)
+                for i, (batch, *_rest) in enumerate(buf):
+                    results.append(
+                        (batch, {k: v[i] for k, v in out.items()})
+                    )
+            buf.clear()
+
+        for batch, objects, obj_mask, packed in device_prefetch(loader, size=2):
+            if buf and (
+                buf[0][0].spec != batch.spec
+                or buf[0][0].meta != batch.meta
+                or buf[0][1].shape != objects.shape
+            ):
+                flush()
+            buf.append((batch, objects, obj_mask, packed))
+            if len(buf) >= chunk:
+                flush()
+        flush()
+        return results
+
     def test_epoch(self, loader: BatchLoader, params) -> np.ndarray:
         """One evaluation pass with 17-bucket error accounting.
 
-        Device outputs are collected asynchronously and synced once at the
-        end (unless hardset mining needs per-batch answers), so eval
-        throughput isn't bounded by per-batch host round-trips."""
+        Same-bucket batches are fused into chunked scan dispatches
+        (tpu.eval_chunk) and device outputs are synced once at the end
+        (unless hardset mining needs per-batch answers), so eval throughput
+        isn't bounded by per-batch host round-trips."""
         error = np.zeros(ERROR_DIM, np.float32)
         total = np.zeros(ERROR_DIM, np.float32)
         # pin params on device once: host pytrees would otherwise re-transfer
         # on every jit call (a per-batch RPC on remote TPU frontends)
         params = jax.device_put(params)
-        from dfol_vqa_tpu.data.device_prefetch import device_prefetch
 
         pending = []
-        for batch, objects, obj_mask, packed in device_prefetch(loader, size=2):
-            out = self._eval_step(batch.spec, batch.meta)(
-                params, objects, obj_mask, packed,
-            )
+        for batch, out in self._eval_chunked(loader, params):
             if self._hardset is not None:
                 match = np.asarray(out["match"]) * batch.compiled.question_mask
                 self._mine_hardset(batch, match)
@@ -406,6 +463,10 @@ class VQATrainer:
             if op_i is not None:
                 error[op_i] += err
                 total[op_i] += n
+        # per-bucket question counts: consumers (curriculum reporting) use
+        # this to distinguish a true 0-error bucket from an EMPTY bucket,
+        # which would otherwise render as a fake perfect accuracy
+        self.last_test_counts = total.copy()
         with np.errstate(invalid="ignore", divide="ignore"):
             return np.where(total > 0, error / np.maximum(total, 1), 0.0)
 
@@ -438,11 +499,7 @@ class VQATrainer:
             params, self.global_step = ckpt.load(import_path_base, self.cfg.model_name, params)
         params = jax.device_put(params)
         predictions: List[dict] = []
-        for batch in loader:
-            out = self._eval_step(batch.spec, batch.meta)(
-                params, jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask),
-                jnp.asarray(batch.packed),
-            )
+        for batch, out in self._eval_chunked(loader, params):
             answers = self.decode_answers(out, batch)
             qtype = question_type_of(batch.spec.terminal_op)
             qm = batch.compiled.question_mask
@@ -504,9 +561,10 @@ class VQATrainer:
 
     # ------------------------------------------------------------ checkpoints
 
-    def _save(self, export_path_base: str, params):
+    def _save(self, export_path_base: str, params, sync: bool = False):
         ckpt.save(export_path_base, self.cfg.model_name, params, self.global_step,
-                  backend=self.cfg.tpu.checkpoint_backend)
+                  backend=self.cfg.tpu.checkpoint_backend,
+                  async_write=self.cfg.tpu.async_save and not sync)
 
     def load(self, import_path_base: str, params):
         params, self.global_step = ckpt.load(import_path_base, self.cfg.model_name, params)

@@ -137,6 +137,248 @@ def run_plain_phase(ont, params, rng, per_op, batch, report):
     return total_match, total_n
 
 
+def run_hard_phase(ont, params, rng, per_op, batch, report):
+    """Eval legs with hard_mode=True both sides (reference trainer.py:96-117
+    evaluation aggregation: min/max instead of soft products). Pins the
+    reference's hard-mode quirks: GQAQueryAttrBatch / GQAAllDifferentBatch /
+    GQATwoDifferentBatch drop hard_mode when delegating (batch_gqa_ops.py:
+    304-305, 627-628, 702-703), so those terminals stay soft."""
+    total_match = total_n = 0
+    for term in TERMS:
+        agree = n = 0
+        lp_deltas = []
+        failed = None
+        for length in (1, 2):
+            qs_all = synth_questions(ont, rng, term, per_op // 2, length)
+            for s in range(0, len(qs_all), batch):
+                qs = qs_all[s : s + batch]
+                counts = [int(rng.integers(2, fmp.O_PAD + 1)) for _ in qs]
+                objs, mask = fmp.make_scene(rng, counts)
+                try:
+                    ref = fmp.run_reference(params, qs, objs, mask, counts,
+                                            hard_mode=True)
+                except Exception as e:
+                    failed = f"reference failed: {e}"
+                    break
+                spec, cb, ours = fmp.run_ours(ont, params, qs, objs, mask,
+                                              hard_mode=True)
+                a, m, d = _compare_batch(qs, cb, spec, ours, ref)
+                agree += a
+                n += m
+                lp_deltas.append(d)
+            if failed:
+                break
+        report[f"hard_{term}"] = (
+            {"error": failed}
+            if failed
+            else {
+                "questions": n,
+                "answer_agreement": agree / max(n, 1),
+                "max_abs_logprob_delta": float(np.max(lp_deltas)) if lp_deltas else None,
+            }
+        )
+        if not failed:
+            total_match += agree
+            total_n += n
+    return total_match, total_n
+
+
+def run_reference_supervision(params, questions, objs, mask, counts,
+                              cached=True, is_training=False):
+    """Reference runner for the direct-supervision terminals.
+
+    Unlike fmp.run_reference: ships ``object_pairs`` meta_data (the
+    BatchGQABoxFeaturesCollator contract, batch_gqa_boxfeatures_pipeline.py:
+    94-97 / featurizer :225-249) and exposes cached/is_training, because two
+    reference legs are dead upstream: GQAObjectRelBatch's give_answer path
+    crashes (`range(relation_list)` on a list, batch_gqa_ops.py:872) and
+    GQASceneOpBatch is incompatible with cached=True (it re-applies the
+    networks to the likelihood cache, :888-890)."""
+    import sys as _s
+
+    import torch
+    import torch.nn as nn_t
+
+    _s.path.insert(0, "/root/reference/src")
+    from nsvqa.nn.vision.classifier_oracle import ClassifierOracle
+    from nsvqa.nn.interpreter.batch_gqa_ops import GQAOntology as RefOntology
+    from nsvqa.nn.interpreter.batch_gqa_interpreter import BatchGQAInterpreter
+    from nsvqa.data.batch_gqa_boxfeatures_pipeline import BatchGQABoxFeaturizer
+    from nsvqa.data.data_pipeline import ProgramCollaterBase
+
+    meta = "/root/reference/src/nsvqa/data/metadata"
+    ont = RefOntology(
+        meta + "/gqa_all_attribute.json", meta + "/gqa_all_class.json",
+        meta + "/gqa_vocab.json", None, relation_json_path=meta + "/gqa_relation.json",
+    )
+    featurizer_net = fmp.to_torch_mlp(torch, nn_t, params["featurizer"], nn_t.Sigmoid())
+    attr_net = fmp.to_torch_mlp(torch, nn_t, params["attribute_network"], nn_t.Sigmoid())
+    rel_net = fmp.to_torch_mlp(torch, nn_t, params["relation_network"], nn_t.Sigmoid())
+    emb_lin = nn_t.Linear(fmp.EMB_DIM, 2335)
+    emb_lin.weight.data = torch.tensor(np.asarray(params["embedding"]["w"]).T)
+    emb_lin.bias.data = torch.tensor(np.asarray(params["embedding"]["b"]))
+    emb = nn_t.Sequential(emb_lin, nn_t.LogSigmoid())
+    featurizer = BatchGQABoxFeaturizer(featurizer_network=featurizer_net)
+    oracle = ClassifierOracle(ont, attr_net, rel_net, emb, normalize=True, cached=cached)
+    interp = BatchGQAInterpreter("m", oracle, ont, featurizer, cached=cached)
+    interp.eval()
+
+    rows, batch_index = [], []
+    for b, n in enumerate(counts):
+        rows.append(objs[b, :n])
+        batch_index.extend([b] * n)
+    obj_t = torch.tensor(np.concatenate(rows, 0))
+    qsx = [dict(q, original_dict=None) for q in questions]
+    collater = ProgramCollaterBase("select", "relate", "filter", split_num=1)
+    pbs = collater.collate(qsx)
+    md = {}
+    if any("object_pairs" in q for q in questions):
+        md["object_pairs"] = {
+            "subject_id": [q.get("object_pairs", {}).get("subject_id", []) for q in questions],
+            "object_id": [q.get("object_pairs", {}).get("object_id", []) for q in questions],
+        }
+    for pb in pbs:
+        pb.create_sparse_tensors()
+        pb._object_features = obj_t
+        pb._object_batch_index = torch.tensor(np.asarray(batch_index, np.int64))
+        pb._device = torch.device("cpu")
+        pb._meta_data = md
+    with torch.no_grad():
+        return interp(pbs, is_training)
+
+
+def _gen_supervision(ont, rng, terminal, counts):
+    """Supervision questions honoring the REFERENCE's implicit contracts:
+    object_attr groups must cover every object in order (GQAObjectAttrBatch
+    reads the GLOBAL group counter as the global object column,
+    batch_gqa_ops.py:799-820); object_rel pairs are unique per question
+    (the reference scatter overwrites duplicates in list order)."""
+    adjs = [t for t in ont._adjectives if t in ont._arg_to_idx]
+    rels = [t for t in ont._relations if t in ont._arg_to_idx]
+    out = []
+    for b, n in enumerate(counts):
+        base = {"imageId": f"pimg{b}", "question_id": f"sv{b}"}
+        if terminal == "object_attr":
+            groups, answers, weights = [], [], []
+            for _o in range(n):  # one group per object, in order (contract)
+                attrs = [str(a) for a in rng.choice(adjs, int(rng.integers(1, 3)),
+                                                    replace=False)]
+                groups.append(attrs)
+                answers.append([str(rng.choice(["yes", "no"])) for _ in attrs])
+                weights.extend([float(rng.uniform(0.5, 1.0)) for _ in attrs])
+            base["program"] = {"branches": [], "last_op": {
+                "operator": "object_attr", "arguments": [groups]}}
+            base["answer"] = answers
+            base["weights"] = weights
+        elif terminal == "object_rel":
+            k = int(rng.integers(1, min(4, n * (n - 1)) + 1))
+            all_pairs = [(i, j) for i in range(n) for j in range(n) if i != j]
+            pick = rng.choice(len(all_pairs), k, replace=False)
+            base["program"] = {"branches": [], "last_op": {
+                "operator": "object_rel",
+                "arguments": [[str(rng.choice(rels)) for _ in range(k)]]}}
+            base["object_pairs"] = {
+                "subject_id": [int(all_pairs[p][0]) for p in pick],
+                "object_id": [int(all_pairs[p][1]) for p in pick],
+            }
+            base["answer"] = [str(rng.choice(["yes", "no"])) for _ in range(k)]
+        else:  # scene
+            k = int(rng.integers(1, min(4, n * (n - 1)) + 1))
+            all_pairs = [(i, j) for i in range(n) for j in range(n) if i != j]
+            pick = rng.choice(len(all_pairs), k, replace=False)
+            base["program"] = {"branches": [], "last_op": {
+                "operator": "scene", "arguments": []}}
+            base["answer"] = []
+            base["attribute_dict"] = {
+                str(o): [(str(rng.choice(adjs)), float(rng.uniform(0.5, 1.0)))]
+                for o in range(n)
+            }
+            base["object_pairs"] = {
+                "subject_id": [int(all_pairs[p][0]) for p in pick],
+                "object_id": [int(all_pairs[p][1]) for p in pick],
+            }
+            base["relation_list"] = [
+                (str(rng.choice(rels)), float(rng.uniform(0.5, 1.0))) for _ in range(k)
+            ]
+        out.append(base)
+    return out
+
+
+def run_supervision_phase(ont, params, rng, per_op, batch, report):
+    """Direct-supervision terminals (object_attr / object_rel / scene) vs
+    the reference with shared weights. Agreement = thresholded statement
+    predictions (exp(lp) > 0.5) equal on every statement."""
+    total_match = total_n = 0
+    for term in ("object_attr", "object_rel", "scene"):
+        agree = n = 0
+        lp_deltas = []
+        failed = None
+        n_batches = max(1, per_op // batch)
+        for bi in range(n_batches):
+            counts = [int(rng.integers(2, fmp.O_PAD + 1)) for _ in range(batch)]
+            qs = _gen_supervision(ont, rng, term, counts)
+            objs, mask = fmp.make_scene(rng, counts)
+            cached = term != "scene"  # reference scene op breaks with cache
+            is_training = term != "object_attr"  # object_rel eval leg broken
+            try:
+                ref = run_reference_supervision(
+                    params, qs, objs, mask, counts, cached=cached,
+                    is_training=is_training,
+                )
+            except Exception as e:
+                failed = f"reference failed: {e}"
+                break
+            spec, cb, ours = fmp.run_ours(ont, params, qs, objs, mask)
+            if term == "scene":
+                a = np.asarray(ours["log_probability"]["attr"])
+                r = np.asarray(ours["log_probability"]["rel"])
+                attr_ref = ref["log_probability"][0].detach().numpy().reshape(-1, a.shape[-1])
+                rel_ref = ref["log_probability"][1].detach().numpy().reshape(-1, r.shape[-1])
+                ours_attr = np.concatenate([a[qi, : counts[qi]] for qi in range(len(qs))], 0)
+                ours_rel = np.concatenate(
+                    [r[qi, : len(qs[qi]["relation_list"])] for qi in range(len(qs))], 0
+                )
+                lp_deltas.append(max(
+                    float(np.max(np.abs(ours_attr - attr_ref))),
+                    float(np.max(np.abs(ours_rel - rel_ref))),
+                ))
+                for o, rr in ((ours_attr, attr_ref), (ours_rel, rel_ref)):
+                    agree += int(np.array_equal(np.exp(o) > 0.5, np.exp(rr) > 0.5))
+                    n += 1
+            else:
+                lp = np.asarray(ours["log_probability"])
+                ref_lp = ref["log_probability"].detach().numpy().flatten()
+                flat = []
+                for qi, q in enumerate(qs):
+                    if term == "object_attr":
+                        k = sum(len(g) for g in q["program"]["last_op"]["arguments"][0])
+                    else:
+                        k = len(q["program"]["last_op"]["arguments"][0])
+                    flat.extend(lp[qi, :k])
+                flat = np.asarray(flat)
+                lp_deltas.append(float(np.max(np.abs(flat - ref_lp))))
+                agree += int(np.array_equal(np.exp(flat) > 0.5, np.exp(ref_lp) > 0.5))
+                n += 1
+                if term == "object_attr":  # eval leg: compare answer strings
+                    mine = ["yes" if v else "no" for v in (np.exp(flat) > 0.5)]
+                    theirs = [str(a[0]) for a in ref["answer"]]
+                    agree += int(mine == theirs)
+                    n += 1
+        report[f"supervision_{term}"] = (
+            {"error": failed}
+            if failed
+            else {
+                "statement_batches": n,
+                "answer_agreement": agree / max(n, 1),
+                "max_abs_logprob_delta": float(np.max(lp_deltas)) if lp_deltas else None,
+            }
+        )
+        if not failed:
+            total_match += agree
+            total_n += n
+    return total_match, total_n
+
+
 def run_calibrator_phase(ont_dim, rng, per_op, batch, report):
     """Subset of terminals with the attention-transfer calibrator ACTIVE and
     shared bi-LSTM weights (test_calibrator_parity harness); exercises both
@@ -203,11 +445,16 @@ def main():
     report = {}
     m1, n1 = run_plain_phase(ont, params, rng, args.per_op, args.batch, report)
     m2, n2 = run_calibrator_phase(fmp.EMB_DIM, rng, args.calib_per_op, args.batch, report)
+    m3, n3 = run_hard_phase(ont, params, rng, args.per_op // 2, args.batch, report)
+    m4, n4 = run_supervision_phase(ont, params, rng, args.per_op // 4, args.batch, report)
 
     report["_overall"] = {
-        "questions": n1 + n2,
-        "answer_agreement": (m1 + m2) / max(n1 + n2, 1),
-        "fuzz": "lengths 1-3, neg_prob 0.15, wildcard_prob 0.1, ragged options",
+        "questions": n1 + n2 + n3 + n4,
+        "answer_agreement": (m1 + m2 + m3 + m4) / max(n1 + n2 + n3 + n4, 1),
+        "fuzz": "lengths 1-3, neg_prob 0.15, wildcard_prob 0.1, ragged options; "
+                "hard_mode eval legs (13 terminals x lengths 1-2); supervision "
+                "terminals object_attr/object_rel/scene (full coverage: "
+                "16/16 terminals x {soft, hard})",
     }
     out = os.path.join(REPO, "PARITY_REPORT.json")
     with open(out, "w") as f:

@@ -108,6 +108,9 @@ def main(argv=None):
     ap.add_argument("--tpu", action="store_true",
                     help="run on the default JAX backend (TPU if present); "
                          "default forces CPU for a deterministic, tunnel-free run")
+    ap.add_argument("--stage-lr", default=None,
+                    help="per-stage LR overrides, e.g. '6:1e-3,7:5e-4' "
+                         "(stage-6 stressed-regime investigation)")
     args = ap.parse_args(argv)
 
     if not args.tpu:
@@ -196,7 +199,8 @@ def main(argv=None):
                    "--noise", str(args.noise), "--scale", str(args.scale),
                    "--epoch-scale", str(args.epoch_scale),
                    "--seed", str(args.seed),
-                   "--jit-cache", args.jit_cache] + (["--tpu"] if args.tpu else [])
+                   "--jit-cache", args.jit_cache] + (["--tpu"] if args.tpu else []) \
+                  + (["--stage-lr", args.stage_lr] if args.stage_lr else [])
             proc = subprocess.run(cmd)
             if proc.returncode != 0:
                 raise RuntimeError(f"curriculum stage {i} failed (rc={proc.returncode})")
@@ -207,12 +211,18 @@ def main(argv=None):
 
     experiment = PlantedCurriculumExperiment(world)
     run_stages = [int(s) for s in args.stages.split(",")]
+    lr_over = {}
+    if args.stage_lr:
+        for part in args.stage_lr.split(","):
+            k, v = part.split(":")
+            lr_over[int(k)] = float(v)
 
     results = []
     for st in STAGES:
         i = st["i"]
         if i not in run_stages:
             continue
+        lr = lr_over.get(i, st["lr"])
         split = st["split"]
         train_files = [made[(split, f, L)] for f in st["fams"] for L in st["lens"]]
         val_files = [made[("val", f, L)] for f in st["fams"] for L in st["lens"]]
@@ -234,7 +244,7 @@ def main(argv=None):
             attribute_network_layers_config=[16],
             relation_network_layers_config=[16],
             attention_transfer_state_dim=16,
-            learning_rate=st["lr"], dropout=0.0, weight_decay=1e-10,
+            learning_rate=lr, dropout=0.0, weight_decay=1e-10,
             ckeckpointing_frequency=10_000, verbose=False,
             tpu={"max_object_num": 8, "rel_table_size": 4},
         )
@@ -254,14 +264,25 @@ def main(argv=None):
                              seed=args.seed)
         dt = time.time() - t1
 
+        import jax as _jx
+
         err = np.asarray(res["test_error"], np.float64).flatten()
         per_op = dict(zip(["over_all"] + list(OP_INDEX.keys()), err.tolist()))
         acc = {k: round(1.0 - v, 4) for k, v in per_op.items()}
+        # omit EMPTY test buckets (zero questions — e.g. the supervision
+        # families, which T4 excludes): they'd render as fake 1.0 accuracies
+        counts = res.get("test_counts")
+        if counts is not None:
+            names = ["over_all"] + list(OP_INDEX.keys())
+            empty = {names[j] for j in range(len(names)) if counts[j] == 0}
+            acc = {k: v for k, v in acc.items() if k not in empty}
         row = dict(
             stage=i, version=cfg["version"], families=st["fams"],
             lengths=list(st["lens"]), train_split=split, epochs=epochs,
-            learning_rate=st["lr"],
+            learning_rate=lr,
             calibrator=bool(cfg.get("activate_attention_transfer")),
+            device=_jx.devices()[0].device_kind,
+            backend=_jx.default_backend(),
             test_acc_overall=acc["over_all"],
             test_acc_per_family={k: v for k, v in acc.items() if k != "over_all"},
             seconds=round(dt, 1),
@@ -278,6 +299,8 @@ def main(argv=None):
 
 def _write_artifact(args, world, results, total_seconds):
     artifact = dict(
+        device=(results[0].get("device") if results else None),
+        backend=(results[0].get("backend") if results else None),
         world=dict(nouns=world.nouns,
                    categories=[[c, o] for c, o in world.categories],
                    n_images=512, noise=args.noise, box_dim=32,

@@ -1,0 +1,159 @@
+"""Weak-scaling sweep over virtual device meshes (VERDICT r2 item 2).
+
+Runs the FUSED CHUNKED sharded training step (tpu.train_chunk x data-mesh,
+the r3 composition) on 1/2/4/8-device virtual CPU meshes with a FIXED
+per-device batch, and reports steps/sec and the parallel efficiency vs the
+1-device run. Virtual CPU devices share one host's cores, so absolute
+numbers are not TPU performance — the sweep demonstrates that the sharded
+chunked step executes and that GSPMD's collective overhead stays bounded
+as the mesh grows (the shape of the curve, not its height; real-chip
+scaling rides ICI instead of shared host memory).
+
+Writes MULTICHIP_SCALING_r03.json at the repo root.
+
+Usage: python scripts/weak_scaling.py [--per-device-batch 8] [--chunk 4]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = """
+import os, sys, time, json
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import numpy as np
+import jax.numpy as jnp
+
+n_devices = {n}
+per_device_batch = {pdb}
+chunk = {chunk}
+
+from dfol_vqa_tpu.parallel.mesh import make_mesh, shard_params
+from dfol_vqa_tpu.train.trainer import VQATrainer
+from dfol_vqa_tpu.train.optim import build_optimizer
+from dfol_vqa_tpu.models.interpreter import Interpreter
+from dfol_vqa_tpu.data.synthetic import generate_questions
+from dfol_vqa_tpu.ontology import GQAOntology
+from dfol_vqa_tpu.config import Config
+from dfol_vqa_tpu.compiler.program_compiler import ProgramCompiler
+from dfol_vqa_tpu.data.dataset import ProgramDataset
+from dfol_vqa_tpu.data.features import SyntheticFeatures
+from dfol_vqa_tpu.data.loader import BatchLoader
+
+batch = per_device_batch * n_devices
+cfg = Config(box_features_dim=64, oracle_input_dim=32, word_embedding_dim=16,
+             featurizer_layers_config=[], attribute_network_layers_config=[16],
+             relation_network_layers_config=[16], dropout=0.0, verbose=False)
+cfg.tpu.max_object_num = 8
+cfg.tpu.rel_table_size = 4
+cfg.tpu.train_chunk = chunk
+ont = GQAOntology()
+interp = Interpreter(cfg, ont)
+params = interp.init_params(jax.random.PRNGKey(0))
+
+qs = generate_questions(ont, batch * chunk, terminal='verify_rel', length=2, seed=5)
+compiler = ProgramCompiler(ont, object_num=8, rel_slots=4)
+feats = SyntheticFeatures(box_dim=cfg.box_features_dim, min_objects=4, max_objects=8)
+loader = BatchLoader([ProgramDataset(qs, ont)], compiler, feats, batch, 8,
+                     shuffle=False, prefetch=0)
+batches = list(loader)[:chunk]
+b0 = batches[0]
+objs = np.stack([b.objects for b in batches])
+masks = np.stack([b.obj_mask for b in batches])
+packs = np.stack([b.packed for b in batches])
+
+mesh = make_mesh((n_devices,), ('data',), jax.devices()[:n_devices])
+with mesh:
+    trainer = VQATrainer(cfg, interp, mesh=mesh)
+    trainer._tx = build_optimizer(cfg, params)
+    params_s = shard_params(mesh, jax.tree_util.tree_map(np.asarray, params))
+    opt = trainer._tx.init(params_s)
+    fn = trainer._train_step_chunk(b0.spec, b0.meta, chunk)
+    rng = jax.random.PRNGKey(0)
+    p, o, losses, _, rng = fn(params_s, opt, objs, masks, packs, rng)
+    np.asarray(losses)  # warm (compile)
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        p, o, losses, _, rng = fn(p, o, objs, masks, packs, rng)
+        np.asarray(losses)
+        reps.append(time.perf_counter() - t0)
+sec = float(np.median(reps))
+print(json.dumps(dict(n_devices=n_devices, batch=batch, chunk=chunk,
+                      sec_per_chunk=sec,
+                      steps_per_sec=chunk / sec,
+                      questions_per_sec=batch * chunk / sec,
+                      loss=float(np.asarray(losses)[-1]))))
+"""
+
+
+def run_child(n: int, pdb: int, chunk: int) -> dict:
+    env = dict(os.environ)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if not f.startswith("--xla_force_host_platform_device_count")]
+    flags.append(f"--xla_force_host_platform_device_count={n}")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c", _CHILD.format(repo=REPO, n=n, pdb=pdb, chunk=chunk)],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"n={n} failed: {r.stderr[-2000:]}")
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-device-batch", type=int, default=8)
+    ap.add_argument("--chunk", type=int, default=4)
+    ap.add_argument("--out", default=os.path.join(REPO, "MULTICHIP_SCALING_r03.json"))
+    args = ap.parse_args()
+
+    rows = []
+    for n in (1, 2, 4, 8):
+        row = run_child(n, args.per_device_batch, args.chunk)
+        rows.append(row)
+        print(f"[weak-scaling] n={n}: {row['questions_per_sec']:.1f} q/s "
+              f"({row['sec_per_chunk']*1e3:.1f} ms/chunk)", flush=True)
+    base_qps = rows[0]["questions_per_sec"]
+    for row in rows:
+        # On a single-core host every virtual device time-shares the same
+        # silicon, so constant-chunk-time weak scaling is unobservable by
+        # construction; the meaningful number is aggregate THROUGHPUT
+        # retention: n x the total batch on the same core at retention r
+        # means partitioning + GSPMD collective overhead is (1 - r).
+        row["throughput_retention_vs_1dev"] = round(
+            row["questions_per_sec"] / base_qps, 3
+        )
+    host_cores = os.cpu_count()
+    artifact = dict(
+        description=(
+            "Scaling sweep of the fused chunked sharded train step "
+            "(train_chunk x data mesh) on 1/2/4/8 virtual CPU devices. "
+            f"Host has {host_cores} physical core(s): virtual devices "
+            "time-share it, so per-device work cannot complete in constant "
+            "time; throughput_retention_vs_1dev isolates the partitioning "
+            "+ GSPMD collective overhead instead (1.0 = free scaling; "
+            "real-chip scaling rides ICI and is validated functionally by "
+            "dryrun_multichip + tests/test_chunk_mesh.py)."
+        ),
+        host_cores=host_cores,
+        per_device_batch=args.per_device_batch,
+        chunk=args.chunk,
+        rows=rows,
+    )
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"[weak-scaling] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -70,7 +70,7 @@ def to_torch_mlp(torch, nn_t, p, final):
     return nn_t.Sequential(*layers)
 
 
-def run_reference(params, questions, objs, mask, counts):
+def run_reference(params, questions, objs, mask, counts, hard_mode=False):
     import sys, torch
     import torch.nn as nn_t
 
@@ -97,7 +97,8 @@ def run_reference(params, questions, objs, mask, counts):
 
     featurizer = BatchGQABoxFeaturizer(featurizer_network=featurizer_net)
     oracle = ClassifierOracle(ont, attr_net, rel_net, emb, normalize=True, cached=True)
-    interp = BatchGQAInterpreter("m", oracle, ont, featurizer, cached=True)
+    interp = BatchGQAInterpreter("m", oracle, ont, featurizer, cached=True,
+                                 hard_mode=hard_mode)
     interp.eval()
 
     # ragged object features
@@ -121,8 +122,9 @@ def run_reference(params, questions, objs, mask, counts):
         return interp(pbs, False)
 
 
-def run_ours(ontology, params, questions, objs, mask):
+def run_ours(ontology, params, questions, objs, mask, hard_mode=False):
     cfg = tiny_cfg()
+    cfg.hard_mode = hard_mode
     interp = Interpreter(cfg, ontology)
     compiler = ProgramCompiler(ontology, object_num=O_PAD, rel_slots=4)
     spec, cb = compiler.compile(questions)

@@ -1,0 +1,41 @@
+"""Hardware-gated checks that must run on a real TPU backend.
+
+The suite-wide conftest pins JAX to a virtual CPU mesh, so claims that only
+activate on backend=='tpu' (Mosaic kernels, rel_stream_dtype bit-identity)
+are verified here by subprocess with the platform pin stripped. Each test
+SKIPS cleanly when no TPU is reachable — they are extra assurance on
+TPU-equipped CI, not a hard dependency.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_on_tpu(script: str) -> subprocess.CompletedProcess:
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME", "XLA_FLAGS")}
+    try:
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", script)],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+    except subprocess.TimeoutExpired:
+        # a busy/contended TPU tunnel stalls device acquisition indefinitely;
+        # that is environment contention, not a product failure
+        pytest.skip("TPU unreachable or busy (600s)")
+
+
+def test_rel_stream_bf16_bit_identity():
+    """ADVICE (low): tpu.rel_stream_dtype defaults to bf16 with a
+    'bit-identical' claim that no CPU test can exercise (Pallas path needs
+    backend==tpu and O>=64). Pin it on the hardware."""
+    r = _run_on_tpu("verify_bf16_stream.py")
+    if r.returncode == 3:
+        pytest.skip(f"no TPU backend: {r.stdout.strip()}")
+    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr[-2000:]}"
+    assert "bit_identical=True" in r.stdout

@@ -77,7 +77,15 @@ class PrecompiledDataset:
     def __init__(self, dataset: ProgramDataset, compiler: ProgramCompiler,
                  keep_original: bool = False):
         questions = [dataset[i] for i in range(len(dataset))]
-        self.spec_all, self.cb = compiler.compile(questions, keep_original=keep_original)
+        # canonical base compile: choose-option randomness comes only from
+        # the per-epoch gather-time permutation (shuffle_choose_options),
+        # never from the one-time compile
+        old_shuffle = getattr(compiler, "_shuffle_choose", False)
+        compiler._shuffle_choose = False
+        try:
+            self.spec_all, self.cb = compiler.compile(questions, keep_original=keep_original)
+        finally:
+            compiler._shuffle_choose = old_shuffle
         self.n = len(questions)
 
     def gather(self, indices, batch_size: int) -> "tuple":
@@ -104,6 +112,31 @@ class PrecompiledDataset:
             out.question_mask[-n_pad:] = 0.0
         spec = dataclasses.replace(self.spec_all, batch_size=batch_size)
         return spec, out
+
+
+def shuffle_choose_options(spec, cb, rng) -> None:
+    """Permute each choose question's valid option slots in place.
+
+    Equivalent to the reference's per-epoch choose-option shuffle
+    (data_pipeline.py:571-622) applied before compilation: the executor
+    scores each option slot from its token alone (option-axis equivariant),
+    so permuting the compiled per-slot fields — options, opt_rel_idx,
+    answer targets, option strings — is the same augmentation without
+    re-running the host compiler every epoch."""
+    if spec.terminal_op not in ("choose_attr", "choose_rel"):
+        return
+    B = cb.options.shape[0]
+    for qi in range(B):
+        kk = int(cb.opt_mask[qi].sum())
+        if kk <= 1:
+            continue
+        perm = rng.permutation(kk)
+        for arr in (cb.options, cb.opt_rel_idx, cb.answer_opt, cb.answer_match):
+            if arr is not None and arr.shape[1] >= kk:
+                arr[qi, :kk] = arr[qi, perm]
+        if cb.option_strings and len(cb.option_strings[qi]) == kk:
+            os_q = cb.option_strings[qi]
+            cb.option_strings[qi] = [os_q[j] for j in perm]
 
 
 class BatchLoader:
@@ -136,8 +169,16 @@ class BatchLoader:
         self._prefetch = prefetch
         self._keep_original = keep_original
         self._epoch = 0
-        # per-epoch choose-option shuffling requires runtime compilation
-        self._precompile = precompile and not getattr(compiler, "_shuffle_choose", False)
+        # Per-epoch choose-option shuffling (the reference's anti-position-
+        # bias augmentation, data_pipeline.py:571-622) is applied as a
+        # gather-time K-axis permutation on the precompiled arrays — the
+        # executor is fully equivariant in the option axis (each slot's
+        # score depends only on its token), so permuting the compiled slots
+        # is exactly equivalent to shuffling before compilation, and the
+        # per-question host compile no longer has to rerun every epoch
+        # (compiling train files per epoch dominated curriculum host time).
+        self._precompile = precompile
+        self._shuffle_choose = bool(getattr(compiler, "_shuffle_choose", False))
         self._precompiled = None
         # multi-process batch production (host-side compile/collate/pack is
         # GIL-bound; one prefetch thread caps at ~1 core). Workers shard the
@@ -178,6 +219,11 @@ class BatchLoader:
                 if i % n != k:
                     continue
                 spec, cb = pre[di].gather(indices, self._batch_size)
+                if self._shuffle_choose:
+                    # per-batch rng (seed, i): loader workers shard batches
+                    # by index, so a shared stream would desync them from
+                    # the single-process sequence
+                    shuffle_choose_options(spec, cb, np.random.default_rng((seed, i)))
                 objects, obj_mask, img_index = self._features.batch_unique(
                     cb.image_ids, self._O
                 )

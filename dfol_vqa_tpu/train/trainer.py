@@ -237,15 +237,19 @@ class VQATrainer:
                     pass
             if reset_step:
                 self.global_step = 0
+            # Host snapshot for the crash-save path: the jitted train step
+            # donates the params buffers (donate_argnums), so if a step
+            # raises after dispatch, `params` can reference invalidated
+            # device memory and the finally-block save would itself fail.
+            # Taken once per repetition, then refreshed for free from the
+            # device_get each epoch-end save performs anyway (a per-epoch
+            # tree_map(np.asarray, ...) costs one RPC per leaf on tunneled
+            # frontends).
+            crash_backup = jax.tree_util.tree_map(np.asarray, params)
             for epoch in range(cfg.epoch_num):
                 start = time.time()
-                # Host snapshot for the crash-save path: the jitted train step
-                # donates the params buffers (donate_argnums), so if a step
-                # raises after dispatch, `params` can reference invalidated
-                # device memory and the finally-block save would itself fail.
-                crash_backup = jax.tree_util.tree_map(np.asarray, params)
                 try:
-                    from dfol_vqa_tpu.data.device_prefetch import device_prefetch
+                    from dfol_vqa_tpu.data.device_prefetch import chunk_prefetch
 
                     # per-step losses stay on device; synced once per epoch
                     # (a per-step host fetch would serialize the pipeline)
@@ -254,37 +258,6 @@ class VQATrainer:
                     # chunked dispatch composes with the mesh (r3): the chunk
                     # axis is never sharded (parallel/mesh.py shard_train_chunk)
                     chunk = max(1, cfg.tpu.train_chunk)
-                    pending_chunk: List = []
-
-                    def flush_chunk():
-                        nonlocal params, opt_state, rng, total_n
-                        if not pending_chunk:
-                            return
-                        if len(pending_chunk) == 1 or chunk == 1:
-                            for batch, o, m, p in pending_chunk:
-                                fn = self._train_step(batch.spec, batch.meta)
-                                params, opt_state, loss, match, rng = fn(
-                                    params, opt_state, o, m, p, rng
-                                )
-                                loss_acc.append((loss, batch.batch_size))
-                                total_n += batch.batch_size
-                                self.global_step += 1
-                        else:
-                            b0 = pending_chunk[0][0]
-                            objs = jnp.stack([x[1] for x in pending_chunk])
-                            masks = jnp.stack([x[2] for x in pending_chunk])
-                            packs = jnp.stack([x[3] for x in pending_chunk])
-                            fn = self._train_step_chunk(
-                                b0.spec, b0.meta, len(pending_chunk)
-                            )
-                            params, opt_state, losses_d, matches_d, rng = fn(
-                                params, opt_state, objs, masks, packs, rng
-                            )
-                            for i, (batch, *_rest) in enumerate(pending_chunk):
-                                loss_acc.append((losses_d[i], batch.batch_size))
-                                total_n += batch.batch_size
-                                self.global_step += 1
-                        pending_chunk.clear()
 
                     next_ckpt = self.global_step + cfg.checkpointing_frequency
 
@@ -299,12 +272,13 @@ class VQATrainer:
                             return
                         next_ckpt = self.global_step + cfg.checkpointing_frequency
                         err = self.test_epoch(validation_loader, params)
-                        crash_backup = jax.tree_util.tree_map(np.asarray, params)
+                        # one device_get serves crash backup + both saves
+                        crash_backup = jax.device_get(params)
                         if last_export_path_base:
-                            self._save(last_export_path_base, params)
+                            self._save(last_export_path_base, crash_backup)
                         if best_export_path_base and err[metric_index] <= self._best_error:
                             self._best_error = err[metric_index]
-                            self._save(best_export_path_base, params)
+                            self._save(best_export_path_base, crash_backup)
                         if cfg.verbose:
                             self.logger.info(
                                 "Checkpointing: Step %d, Best Err %.5f: error=%s",
@@ -312,34 +286,38 @@ class VQATrainer:
                                 self._prepare_output_metric_dict(err),
                             )
 
-                    for batch, objects, obj_mask, packed in device_prefetch(
-                        train_loader, size=2
+                    # chunks stack HOST-side and ship as one transfer per
+                    # tensor (device_prefetch.chunk_prefetch): on tunneled
+                    # frontends per-batch device_puts pay an RPC each and
+                    # dominated curriculum wall-clock
+                    for group, objs, masks, packs in chunk_prefetch(
+                        train_loader, chunk, size=2
                     ):
-                        if chunk > 1:
-                            if pending_chunk and (
-                                pending_chunk[0][0].spec != batch.spec
-                                or pending_chunk[0][0].meta != batch.meta
-                                or pending_chunk[0][1].shape != objects.shape
-                            ):
-                                flush_chunk()
-                                maybe_checkpoint()
-                            pending_chunk.append((batch, objects, obj_mask, packed))
-                            if len(pending_chunk) >= chunk:
-                                flush_chunk()
-                                maybe_checkpoint()
-                        else:
+                        if len(group) == 1:
+                            batch = group[0]
                             fn = self._train_step(batch.spec, batch.meta)
                             params, opt_state, loss, match, rng = fn(
-                                params, opt_state, objects, obj_mask, packed, rng,
+                                params, opt_state, objs[0], masks[0], packs[0], rng
                             )
                             loss_acc.append((loss, batch.batch_size))
                             total_n += batch.batch_size
                             self.global_step += 1
-                            maybe_checkpoint()
-                    if chunk > 1:
-                        flush_chunk()
-                    total_loss = sum(float(l) * n for l, n in loss_acc)
-                    losses[epoch, rep] = total_loss / max(total_n, 1)
+                        else:
+                            b0 = group[0]
+                            fn = self._train_step_chunk(b0.spec, b0.meta, len(group))
+                            params, opt_state, losses_d, matches_d, rng = fn(
+                                params, opt_state, objs, masks, packs, rng
+                            )
+                            for i, batch in enumerate(group):
+                                loss_acc.append((losses_d[i], batch.batch_size))
+                                total_n += batch.batch_size
+                                self.global_step += 1
+                        maybe_checkpoint()
+                    if loss_acc:
+                        # ONE readback for the epoch's per-step losses
+                        ls = np.asarray(jnp.stack([jnp.asarray(l) for l, _ in loss_acc]))
+                        ns = np.asarray([n for _, n in loss_acc], np.float64)
+                        losses[epoch, rep] = float(ls @ ns) / max(total_n, 1)
                     if validation_loader is not None:
                         errors[:, epoch, rep] = self.test_epoch(validation_loader, params)
                 finally:
@@ -348,7 +326,11 @@ class VQATrainer:
                             # crash path must leave a complete file behind:
                             # drain async writes, then save synchronously
                             ckpt.wait_pending()
-                            self._save(last_export_path_base, params, sync=True)
+                            host_p = jax.device_get(params)
+                            self._save(last_export_path_base, host_p, sync=True)
+                            # valid start-of-next-epoch state: refresh the
+                            # crash backup for free from this snapshot
+                            crash_backup = host_p
                         except Exception:
                             # params referenced donated (invalidated) buffers;
                             # fall back to the last known-valid host snapshot
@@ -389,43 +371,23 @@ class VQATrainer:
 
         Yields (batch, out_dict) with device-array values (host sync is the
         caller's choice)."""
-        from dfol_vqa_tpu.data.device_prefetch import device_prefetch
+        from dfol_vqa_tpu.data.device_prefetch import chunk_prefetch
 
         chunk = max(1, self.cfg.tpu.eval_chunk)
-        buf: List = []
         results: List = []
-
-        def flush():
-            if not buf:
-                return
-            if len(buf) == 1:
-                batch, o, m, p = buf[0]
-                out = self._eval_step(batch.spec, batch.meta)(params, o, m, p)
+        for group, objs, masks, packs in chunk_prefetch(loader, chunk, size=2):
+            if len(group) == 1:
+                batch = group[0]
+                out = self._eval_step(batch.spec, batch.meta)(
+                    params, objs[0], masks[0], packs[0]
+                )
                 results.append((batch, out))
             else:
-                b0 = buf[0][0]
-                objs = jnp.stack([x[1] for x in buf])
-                masks = jnp.stack([x[2] for x in buf])
-                packs = jnp.stack([x[3] for x in buf])
+                b0 = group[0]
                 fn = self.interp.step_packed_many(b0.spec, b0.meta, False)
                 out = fn(params, objs, masks, packs)
-                for i, (batch, *_rest) in enumerate(buf):
-                    results.append(
-                        (batch, {k: v[i] for k, v in out.items()})
-                    )
-            buf.clear()
-
-        for batch, objects, obj_mask, packed in device_prefetch(loader, size=2):
-            if buf and (
-                buf[0][0].spec != batch.spec
-                or buf[0][0].meta != batch.meta
-                or buf[0][1].shape != objects.shape
-            ):
-                flush()
-            buf.append((batch, objects, obj_mask, packed))
-            if len(buf) >= chunk:
-                flush()
-        flush()
+                for i, batch in enumerate(group):
+                    results.append((batch, {k: v[i] for k, v in out.items()}))
         return results
 
     def test_epoch(self, loader: BatchLoader, params) -> np.ndarray:

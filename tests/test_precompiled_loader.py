@@ -46,13 +46,18 @@ def test_precompiled_matches_runtime(ontology, term):
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
-def test_precompile_disabled_for_choose_shuffle(ontology):
+def test_precompile_stays_on_for_choose_shuffle(ontology):
+    """r3: shuffle_choose no longer forces per-epoch host recompiles — the
+    shuffle is a gather-time K-axis permutation on the precompiled arrays
+    (loader.shuffle_choose_options; equivalence pinned in
+    tests/test_choose_shuffle.py)."""
     comp = ProgramCompiler(ontology, object_num=6, shuffle_choose=True)
     qs = generate_questions(ontology, 4, terminal="choose_attr", seed=1)
     feats = SyntheticFeatures(box_dim=8, min_objects=2, max_objects=6)
     loader = BatchLoader([ProgramDataset(qs, ontology)], comp, feats, 4, 6,
                          shuffle=True, prefetch=0)
-    assert loader._precompile is False
+    assert loader._precompile is True
+    assert loader._shuffle_choose is True
 
 
 @pytest.mark.parametrize("precompile", [True, False])

@@ -111,6 +111,10 @@ def main(argv=None):
     ap.add_argument("--stage-lr", default=None,
                     help="per-stage LR overrides, e.g. '6:1e-3,7:5e-4' "
                          "(stage-6 stressed-regime investigation)")
+    ap.add_argument("--resume", action="store_true",
+                    help="parent mode: skip stages whose stage_N.json already "
+                         "exists in --out (crash recovery; checkpoints and "
+                         "datasets are reused from the interrupted run)")
     args = ap.parse_args(argv)
 
     if not args.tpu:
@@ -194,6 +198,13 @@ def main(argv=None):
         rows = []
         for st in STAGES:
             i = st["i"]
+            stage_json = os.path.join(root, f"stage_{i}.json")
+            if args.resume and os.path.exists(stage_json):
+                with open(stage_json) as f:
+                    rows.append(json.load(f))
+                print(f"[curriculum] stage {i} already done — skipping "
+                      f"(acc={rows[-1]['test_acc_overall']})", flush=True)
+                continue
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--stages", str(i), "--out", root,
                    "--noise", str(args.noise), "--scale", str(args.scale),

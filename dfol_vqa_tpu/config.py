@@ -56,6 +56,19 @@ class TPUConfig:
     # dispatch (interpreter.step_packed_many lax.scan) in test_epoch /
     # predict — the eval-side analog of train_chunk; amortizes the
     # per-dispatch RPC on remote frontends. 1 = dispatch per batch.
+    pad_chunks: bool = True  # pad partial train/eval chunks up to the full
+    # chunk length (duplicating the tail batch; padded train steps are
+    # n_valid-gated no-ops) so EVERY tail length shares one executable per
+    # bucket spec. Without it each distinct tail length k is a fresh XLA
+    # compile — a cold curriculum stage paid up to chunk extra compiles per
+    # spec, and on a degraded shared compile service one stray compile
+    # stalled a stage ~40 min (CURRICULUM_r03 stage 4/6 cold times).
+    group_specs: bool = False  # opt-in: reorder each training epoch so
+    # same-bucket batches run in chunk-length runs (loader group_chunk).
+    # Makes real mixed-family epochs chunk-shaped (the proportional-random
+    # order yields mostly runs of 1-3, so fused dispatch rarely engages);
+    # deviates from the reference's i.i.d. file sampling ORDER (the batch
+    # multiset per epoch is unchanged), so off by default.
     rel_block_size: int = 0  # 0 = no chunking of the O^2 relation pass
     donate_state: bool = True
     fsdp: bool = False  # ZeRO-3 analog: shard params/optimizer state over

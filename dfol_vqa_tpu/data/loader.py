@@ -139,6 +139,29 @@ def shuffle_choose_options(spec, cb, rng) -> None:
             cb.option_strings[qi] = [os_q[j] for j in perm]
 
 
+def _group_by_spec(batches, chunk: int, rng):
+    """Reorder an epoch's (dataset_idx, indices) sequence into runs of up to
+    ``chunk`` same-dataset batches (one file = one bucket spec), with the
+    run order randomized proportionally to each dataset's remaining batches.
+    The multiset of batches is exactly preserved; only adjacency changes —
+    this is what makes the fused chunk dispatch engage on mixed-family
+    epochs, where proportional-random order yields same-spec runs of 1-3."""
+    by_di: dict = {}
+    for di, indices in batches:
+        by_di.setdefault(di, []).append((di, indices))
+    out = []
+    dis = sorted(by_di)
+    remaining = np.asarray([len(by_di[d]) for d in dis], np.float64)
+    while remaining.sum() > 0:
+        j = rng.choice(len(dis), p=remaining / remaining.sum())
+        q = by_di[dis[j]]
+        take = min(chunk, len(q))
+        out.extend(q[:take])
+        del q[:take]
+        remaining[j] -= take
+    return out
+
+
 class BatchLoader:
     def __init__(
         self,
@@ -156,6 +179,7 @@ class BatchLoader:
         keep_original: bool = False,
         precompile: bool = True,
         num_workers: int = 0,
+        group_chunk: int = 0,
     ):
         self._datasets = datasets
         self._compiler = compiler
@@ -188,6 +212,12 @@ class BatchLoader:
         # workers never call JAX (numpy-only production, os._exit on the way
         # out), which is the same contract PyTorch DataLoader workers rely on.
         self._num_workers = num_workers
+        # >1: reorder each epoch so same-file (= same bucket spec) batches
+        # run in group_chunk-length runs — the chunk-fused dispatch then
+        # engages on real mixed-family epochs (tpu.group_specs). The batch
+        # MULTISET per epoch is unchanged; only the order deviates from the
+        # reference's proportional-random file sampling.
+        self._group_chunk = group_chunk
 
     def __len__(self) -> int:
         n = sum(len(d) for d in self._datasets)
@@ -212,10 +242,16 @@ class BatchLoader:
         seed = self._seed + self._epoch
         if self._precompile:
             pre = self._get_precompiled()
-            for i, (di, indices) in enumerate(iter_index_batches(
+            batches = iter_index_batches(
                 self._datasets, self._batch_size, shuffle=self._shuffle, seed=seed,
                 num_shards=self._num_shards, shard_index=self._shard_index,
-            )):
+            )
+            if self._group_chunk > 1 and self._shuffle:
+                batches = _group_by_spec(
+                    list(batches), self._group_chunk,
+                    np.random.default_rng((seed, 0x67726F75)),
+                )
+            for i, (di, indices) in enumerate(batches):
                 if i % n != k:
                     continue
                 spec, cb = pre[di].gather(indices, self._batch_size)

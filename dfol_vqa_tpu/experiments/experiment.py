@@ -59,6 +59,8 @@ class ExperimentBase:
             shard_index=jax.process_index(),
             keep_original=keep_original,
             num_workers=cfg.tpu.loader_workers,
+            group_chunk=(cfg.tpu.train_chunk
+                         if cfg.tpu.group_specs and shuffle else 0),
         )
 
     def run(

@@ -171,21 +171,23 @@ def chunk_batch_sharding(mesh: Mesh):
     return spec
 
 
-def shard_train_chunk(step_fn, mesh: Mesh):
+def shard_train_chunk(step_fn, mesh: Mesh, padded: bool = False):
     """jit a fused-chunk (params, opt_state, objects, obj_mask, packed, rng)
     step under the mesh. ``objects``/``obj_mask`` are (chunk, ...) stacks;
     ``packed`` is the flat int32 program buffer stack (chunk, P) — its minor
     axis is a serialization offset, not a batch axis, so it replicates and
     GSPMD shards the unpacked per-step program tensors in-jit by
-    propagation from the objects' data-axis sharding."""
+    propagation from the objects' data-axis sharding. With ``padded`` the
+    step additionally takes a replicated ``n_valid`` scalar gating the
+    trailing pad steps (trainer._train_step_chunk_padded)."""
     repl = NamedSharding(mesh, P())
     chunk_spec = chunk_batch_sharding(mesh)
     jitted = jax.jit(step_fn, donate_argnums=(0, 1))
 
-    def wrapped(params, opt_state, objects, obj_mask, packed, rng):
+    def wrapped(params, opt_state, objects, obj_mask, packed, rng, *rest):
         objects = jax.device_put(jnp.asarray(objects), chunk_spec(objects))
         obj_mask = jax.device_put(jnp.asarray(obj_mask), chunk_spec(obj_mask))
         packed = jax.device_put(jnp.asarray(packed), repl)
-        return jitted(params, opt_state, objects, obj_mask, packed, rng)
+        return jitted(params, opt_state, objects, obj_mask, packed, rng, *rest)
 
     return wrapped

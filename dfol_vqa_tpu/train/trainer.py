@@ -153,6 +153,71 @@ class VQATrainer:
         self._train_cache[key] = fn
         return fn
 
+    def _train_step_chunk_padded(self, spec: BucketSpec, meta, k: int):
+        """Like :meth:`_train_step_chunk`, but steps at index >= ``n_valid``
+        are update-gated no-ops, so partial chunks padded up to ``k`` (by
+        duplicating the tail batch) all share THIS ONE executable. Without
+        gating, every distinct tail length is a fresh XLA compile signature
+        — the dominant source of cold-run compiles in mixed-family epochs
+        (bucket runs are mostly 1-3 batches long under proportional-random
+        sampling). Gating cost: one select per param/opt leaf per step —
+        the same order as the Adam update itself."""
+        key = (spec, meta, k, "chunk_padded")
+        if key in self._train_cache:
+            return self._train_cache[key]
+        interp = self.interp
+
+        def step(params, opt_state, objects, obj_mask, packed, rng, n_valid):
+            from dfol_vqa_tpu.compiler.program_compiler import unpack_arrays
+            import optax
+
+            def body(carry, xs):
+                params, opt_state, rng = carry
+                o, m, p, idx = xs
+                valid = idx < n_valid
+                arrays = unpack_arrays(p, meta)
+                rng_next, sub = jax.random.split(rng)
+
+                def loss_fn(pp):
+                    out = interp.forward(pp, o, m, arrays, spec, True, sub)
+                    n = jnp.maximum(jnp.sum(arrays["question_mask"]), 1.0)
+                    return out["loss"] / n, out
+
+                (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+                updates, new_opt = self._tx.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                sel = lambda a, b: jnp.where(valid, a, b)
+                params = jax.tree_util.tree_map(sel, new_params, params)
+                opt_state = jax.tree_util.tree_map(sel, new_opt, opt_state)
+                rng = jnp.where(valid, rng_next, rng)
+                return (params, opt_state, rng), (loss, out["match"])
+
+            (params, opt_state, rng), (losses, matches) = jax.lax.scan(
+                body, (params, opt_state, rng),
+                (objects, obj_mask, packed, jnp.arange(k, dtype=jnp.int32)),
+            )
+            return params, opt_state, losses, matches, rng
+
+        if self._mesh is not None:
+            from dfol_vqa_tpu.parallel.mesh import shard_train_chunk
+
+            fn = shard_train_chunk(step, self._mesh, padded=True)
+        else:
+            fn = jax.jit(step, donate_argnums=(0, 1))
+        self._train_cache[key] = fn
+        return fn
+
+    @staticmethod
+    def _pad_chunk(arr, k: int):
+        """Pad a (g, ...) chunk stack up to (k, ...) by repeating the last
+        element (device-side — padded steps never reach the host)."""
+        g = arr.shape[0]
+        if g >= k:
+            return arr
+        return jnp.concatenate(
+            [arr, jnp.broadcast_to(arr[-1], (k - g,) + arr.shape[1:])], axis=0
+        )
+
     def _eval_step(self, spec: BucketSpec, meta=None):
         key = (spec, meta)
         if key in self._eval_cache:
@@ -304,10 +369,26 @@ class VQATrainer:
                             self.global_step += 1
                         else:
                             b0 = group[0]
-                            fn = self._train_step_chunk(b0.spec, b0.meta, len(group))
-                            params, opt_state, losses_d, matches_d, rng = fn(
-                                params, opt_state, objs, masks, packs, rng
-                            )
+                            if cfg.tpu.pad_chunks:
+                                # tail chunks pad to the full length and share
+                                # the full chunk's executable (n_valid-gated)
+                                fn = self._train_step_chunk_padded(
+                                    b0.spec, b0.meta, chunk
+                                )
+                                params, opt_state, losses_d, matches_d, rng = fn(
+                                    params, opt_state,
+                                    self._pad_chunk(objs, chunk),
+                                    self._pad_chunk(masks, chunk),
+                                    self._pad_chunk(packs, chunk),
+                                    rng, np.int32(len(group)),
+                                )
+                            else:
+                                fn = self._train_step_chunk(
+                                    b0.spec, b0.meta, len(group)
+                                )
+                                params, opt_state, losses_d, matches_d, rng = fn(
+                                    params, opt_state, objs, masks, packs, rng
+                                )
                             for i, batch in enumerate(group):
                                 loss_acc.append((losses_d[i], batch.batch_size))
                                 total_n += batch.batch_size
@@ -384,6 +465,13 @@ class VQATrainer:
                 results.append((batch, out))
             else:
                 b0 = group[0]
+                if self.cfg.tpu.pad_chunks and len(group) < chunk:
+                    # partial eval chunks pad to the full length (eval is
+                    # stateless — padded outputs are simply dropped below),
+                    # sharing the full chunk's executable per bucket spec
+                    objs = self._pad_chunk(objs, chunk)
+                    masks = self._pad_chunk(masks, chunk)
+                    packs = self._pad_chunk(packs, chunk)
                 fn = self.interp.step_packed_many(b0.spec, b0.meta, False)
                 out = fn(params, objs, masks, packs)
                 for i, batch in enumerate(group):

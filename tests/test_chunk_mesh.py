@@ -92,7 +92,8 @@ def test_trainer_uses_chunk_under_mesh(ontology, tmp_path):
         trainer = VQATrainer(cfg, interp, mesh=mesh)
         params_s = shard_params(mesh, params)
         trainer.train(loader, None, params_s)
-    chunk_keys = [k for k in trainer._train_cache if k[-1] == "chunk"]
+    chunk_keys = [k for k in trainer._train_cache
+                  if k[-1] in ("chunk", "chunk_padded")]
     assert chunk_keys, "mesh training never used the fused chunk path"
 
 

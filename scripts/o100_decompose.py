@@ -28,7 +28,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-B, O, R = 32, 100, 8
+B, O, R = 32, 100, 8  # defaults; override with --batch/--objects (the
+# mfu_ladder shows B>=256 at O=100 sitting at ~0.5-0.7x its own roofline,
+# so the same decomposition at large B locates the missing bandwidth)
 
 
 def diff_time(fn, args, k_small=4, k_big=64, reps=5):
@@ -65,6 +67,17 @@ def diff_time(fn, args, k_small=4, k_big=64, reps=5):
 
 
 def main():
+    import argparse
+
+    global B, O
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=B)
+    ap.add_argument("--objects", type=int, default=O)
+    ap.add_argument("--json", default=os.path.join(REPO, "O100_DECOMPOSE.json"))
+    cli = ap.parse_args()
+    B, O = cli.batch, cli.objects
+
     import jax
     import jax.numpy as jnp
 
@@ -74,7 +87,7 @@ def main():
     from dfol_vqa_tpu.ops.cells import relate_update
     from dfol_vqa_tpu.ops.pallas.shared_contract import shared_contract_pallas
 
-    bench.BATCH, bench.O_PAD, bench.MIN_OBJ, bench.MAX_OBJ = B, O, 30, O
+    bench.BATCH, bench.O_PAD, bench.MIN_OBJ, bench.MAX_OBJ = B, O, min(30, O), O
 
     # (a) full model
     sec_full, _ = bench.measure_device(hops=4, k_small=4, k_big=64)
@@ -165,7 +178,7 @@ def main():
             "on end-to-end gain"
         ),
     )
-    with open(os.path.join(REPO, "O100_DECOMPOSE.json"), "w") as f:
+    with open(cli.json, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -260,7 +260,13 @@ def measure_mfu_ladder(device_kind: str):
                     round((flops / sec / peak) / min(1.0, intensity / ridge), 3)
                     if intensity > 0 else None
                 )
-                row["hbm_gbps_achieved"] = round(bytes_acc / sec / 1e9, 1)
+                # XLA cost-analysis bytes, NOT physical HBM traffic: every
+                # HLO operand is counted even when fusion keeps it in VMEM,
+                # so this can exceed the chip's real bandwidth — which is
+                # exactly what a >1 achieved_frac_of_bw_bound flags (true
+                # traffic is lower than accounted; the ceiling is
+                # conservative)
+                row["xla_bytes_gbps"] = round(bytes_acc / sec / 1e9, 1)
         rows.append(row)
     return rows
 
@@ -731,7 +737,11 @@ def main():
                 "rows place each config on the HBM roofline: bw_bound_mfu "
                 "is the MFU ceiling at that arithmetic intensity; achieved_"
                 "frac_of_bw_bound ~ 1.0 means bandwidth-bound, << 1 means "
-                "underfill/latency-bound."
+                "underfill/latency-bound, and > 1 means XLA's bytes-"
+                "accessed (an upper bound: fused intermediates never leave "
+                "VMEM) overstates true HBM traffic, so the ceiling is "
+                "conservative — the O=24 rows land there because the eval "
+                "step fuses the gather/elementwise chain into its matmuls."
             ),
         },
     }

@@ -173,13 +173,13 @@ class Interpreter:
     forward (with optional trace), save/load handled by train.checkpoint."""
 
     def __init__(self, cfg: Config, ontology: GQAOntology):
-        if cfg.oracle_output_dim != 1:
-            raise NotImplementedError(
-                "oracle_output_dim > 1 (the 'trainable interpreter' BLC-module "
-                "path) is dead in the reference itself — its build path crashes "
-                "on a missing embedding_network (gqa_interpreter_experiments.py"
-                ":209 vs 181-198) — and is not supported here."
-            )
+        # cfg.oracle_output_dim > 1 engages the trainable-interpreter path:
+        # the oracle emits F feature channels per concept and per-arity
+        # operator modules reduce them to the scalar caches the executor
+        # consumes (models/oracle.py module note). The reference's own build
+        # path for this mode is dead (gqa_interpreter_experiments.py:209
+        # reads the embedding_network its :184-198 branch never creates);
+        # here it is resurrected in cache-fused form.
         self.cfg = cfg
         self.ont = ontology
         self._step_cache: Dict[Any, Any] = {}
@@ -282,7 +282,10 @@ class Interpreter:
                     params, attr_in_u, pos_u, img_index, rel_tokens, cfg, r_rel,
                     deterministic,
                 )
-            elif cfg.tpu.use_pallas and jax.default_backend() == "tpu":
+            elif (
+                cfg.tpu.use_pallas and jax.default_backend() == "tpu"
+                and cfg.oracle_output_dim == 1
+            ):
                 from dfol_vqa_tpu.ops.pallas.relation_oracle import rel_cache_pallas
 
                 rel_ll = rel_cache_pallas(

@@ -41,6 +41,81 @@ from dfol_vqa_tpu.models.featurizer import pair_geometry
 DEFAULT_LOG_LIKELIHOOD = -30.0  # reference default_log_likelihood everywhere
 
 
+# --------------------------------------------- trainable interpreter (F > 1)
+#
+# The reference's ``oracle_output_dim > 1`` "trainable interpreter" makes the
+# oracle emit an F-vector per (object, concept) cell and gives every
+# BatchBayesianLogicCell a small LoglikelihoodMLP mapping that vector to the
+# scalar log-likelihood the Bayesian update consumes (batch_base_ops.py:57-58,
+# 190-192), replacing the fixed ``-relu(-mean(ll))``. Upstream the build path
+# for it is dead — gqa_interpreter_experiments.py:209 reads
+# ``neural_dict['embedding_network']`` which the ``oracle_output_dim != 1``
+# branch (:184-198) never creates, so it crashes before the first forward.
+# Here the idea is resurrected in the TPU-shaped formulation:
+#
+#   * modules are tied PER CELL ARITY — one arity-1 module for every
+#     FilterBatch-style site and one arity-2 module for every
+#     RelateBatch-style site — mirroring where the reference hangs the module
+#     (on the BLC, which exists in exactly those two arities) and the same
+#     tying choice already made for ``trainable_gate`` (ops/cells.py:40-50);
+#   * because the module is elementwise over the feature axis and tied per
+#     arity, it COMMUTES WITH EVERY GATHER the executor performs — so it is
+#     fused into the cache build: one batched MLP over the full (U, O, V, F)
+#     attribute / (B, R, O, O, F) relation feature grid on the MXU, instead
+#     of per-slot scalar MLPs inside the executor. The downstream interpreter
+#     consumes ordinary scalar caches and needs no changes; negation and
+#     option normalisation stay downstream of the module, matching the
+#     reference order (module -> negation -> update, batch_base_ops.py:
+#     190-213). Train-time module dropout draws one mask per cache cell
+#     (reused by each gather of that cell) rather than per call site — the
+#     only semantic daylight, noted here.
+#
+# Feature channels: channel 0 is the existing GloVe-seeded embedding head's
+# logit; channels 1..F-1 come from ``embedding_extra`` (a (E, V, F-1) head).
+# All channels pass a sigmoid — the RegularMLP final the reference's F-dim
+# oracle heads use (gqa_interpreter_experiments.py:32,184-189).
+
+
+def _op_module_ll(
+    params,
+    cfg: Config,
+    logits0: jnp.ndarray,
+    logits_extra: jnp.ndarray,
+    arity: int,
+    rng=None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Per-channel concept logits (..., ) + (..., F-1) -> scalar log-likelihood.
+
+    The cache-fused analog of BatchBayesianLogicCell._trainable_module
+    (batch_base_ops.py:190-192): sigmoid feature vector -> LoglikelihoodMLP."""
+    feats = jax.nn.sigmoid(
+        jnp.concatenate([logits0[..., None], logits_extra], axis=-1)
+    )
+    mod = params["op_modules"]["arity%d" % arity]
+    if mod is None:
+        raise ValueError(
+            "oracle_output_dim > 1 requires operator_layers_config to be a "
+            "list (e.g. []); None (identity operator module) cannot reduce "
+            "the feature axis."
+        )
+    return nn.mlp_apply(
+        mod, feats, final="logsigmoid", dropout_rate=cfg.dropout, rng=rng,
+        deterministic=deterministic,
+    )[..., 0]
+
+
+def _extra_emb_select(params, tok0: jnp.ndarray):
+    """Gather (B, R) 0-based token codes from the extra feature heads.
+
+    Returns (e_sel_x (B, R, E, F-1), b_sel_x (B, R, F-1))."""
+    w_f = params["embedding_extra"]["w"]  # (E, V_pad, F-1)
+    b_f = params["embedding_extra"]["b"]  # (V_pad, F-1)
+    e_sel_x = jnp.take(jnp.moveaxis(w_f, 1, 0), tok0, axis=0)  # (B, R, E, F-1)
+    b_sel_x = jnp.take(b_f, tok0, axis=0)  # (B, R, F-1)
+    return e_sel_x, b_sel_x
+
+
 def init_oracle_params(key, cfg: Config, ontology) -> Dict[str, Any]:
     """Build the oracle parameter pytree (gqa_interpreter_experiments.py:107-198).
 
@@ -71,6 +146,28 @@ def init_oracle_params(key, cfg: Config, ontology) -> Dict[str, Any]:
     # accidental use is conspicuous
     w = w.at[concept_num:, :].set(0.0)
     params["embedding"] = {"w": w.T, "b": jnp.zeros((concept_pad,), jnp.float32)}
+
+    F = cfg.oracle_output_dim
+    if F > 1:
+        # trainable-interpreter extras (see module-level note above): F-1
+        # additional per-concept logit channels + the two per-arity operator
+        # modules (reference operator_layers_config, CONFIG_YAML.md:77 /
+        # gqa_interpreter_experiments.py:233)
+        k_x, k_o1, k_o2 = jax.random.split(jax.random.fold_in(key, 23), 3)
+        scale = 1.0 / np.sqrt(emb_in)
+        params["embedding_extra"] = {
+            "w": scale * jax.random.normal(k_x, (emb_in, concept_pad, F - 1), jnp.float32),
+            "b": jnp.zeros((concept_pad, F - 1), jnp.float32),
+        }
+        if cfg.operator_layers_config is None:
+            raise ValueError(
+                "oracle_output_dim > 1 requires operator_layers_config to be "
+                "a list (e.g. [] for a single Linear(F -> 1))."
+            )
+        params["op_modules"] = {
+            "arity1": nn.mlp_init(k_o1, F, cfg.operator_layers_config, 1),
+            "arity2": nn.mlp_init(k_o2, F, cfg.operator_layers_config, 1),
+        }
     return params
 
 
@@ -90,13 +187,21 @@ def attr_cache(
     Column v (1-based token code) = logsigmoid(<emb_w[:, v-1], h> + b[v-1])
     (classifier_oracle.py:44-82 without the sparse scatter); column 0 holds
     ``default_ll`` so code-0 gathers return the reference default.
+
+    With ``oracle_output_dim > 1`` the head emits F logit channels per
+    concept and the arity-1 operator module reduces them (trainable
+    interpreter, see module note) — the cache stays (B, O, V+1) scalars.
     """
+    trainable = cfg.oracle_output_dim > 1 and "op_modules" in params
+    r_trunk, r_mod = (
+        jax.random.split(rng) if (rng is not None and trainable) else (rng, None)
+    )
     h = nn.mlp_apply(
         params["attribute_network"],
         attr_in,
         final="sigmoid",
         dropout_rate=cfg.dropout,
-        rng=rng,
+        rng=r_trunk,
         deterministic=deterministic,
     )
     compute_dtype = jnp.dtype(cfg.tpu.compute_dtype)
@@ -108,7 +213,22 @@ def attr_cache(
         )
         + params["embedding"]["b"]
     )
-    ll = jax.nn.log_sigmoid(logits)
+    if trainable:
+        logits_x = (
+            jnp.einsum(
+                "boe,evk->bovk",
+                h.astype(compute_dtype),
+                params["embedding_extra"]["w"].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + params["embedding_extra"]["b"]
+        )
+        ll = _op_module_ll(
+            params, cfg, logits, logits_x, arity=1, rng=r_mod,
+            deterministic=deterministic,
+        )
+    else:
+        ll = jax.nn.log_sigmoid(logits)
     B, O, _ = ll.shape
     pad = jnp.full((B, O, 1), default_ll, ll.dtype)
     return jnp.concatenate([pad, ll], axis=-1)
@@ -172,8 +292,39 @@ def rel_cache(
     layers = rp["layers"]
     n = len(layers)
     rngs = (
-        jax.random.split(rng, n + 2) if (rng is not None and not deterministic) else [None] * (n + 2)
+        jax.random.split(rng, n + 3) if (rng is not None and not deterministic) else [None] * (n + 3)
     )
+
+    trainable = cfg.oracle_output_dim > 1 and "op_modules" in params
+    if trainable:
+        e_sel_x, b_sel_x = _extra_emb_select(params, tok0)
+
+    def _contract_ll(h):
+        """(B, I, O, E) sigmoid pair code -> (B, R, I, O) log-likelihoods."""
+        logits = (
+            jnp.einsum(
+                "bije,bre->brij",
+                h.astype(compute_dtype),
+                e_sel.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b_sel[:, :, None, None]
+        )
+        if not trainable:
+            return jax.nn.log_sigmoid(logits)
+        logits_x = (
+            jnp.einsum(
+                "bije,bref->brijf",
+                h.astype(compute_dtype),
+                e_sel_x.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b_sel_x[:, :, None, None, :]
+        )
+        return _op_module_ll(
+            params, cfg, logits, logits_x, arity=2, rng=rngs[n + 2],
+            deterministic=deterministic,
+        )
 
     w_s, w_o, w_g, b0 = _first_layer_split(layers[0], d_att)
     x = nn.dropout(attr_in, cfg.dropout, rngs[0], deterministic)
@@ -201,16 +352,7 @@ def rel_cache(
                 preferred_element_type=jnp.float32,
             ) + lp["b"]
         h = jax.nn.sigmoid(h)  # RegularMLP final (gqa_interpreter_experiments.py:32)
-        logits = (
-            jnp.einsum(
-                "bije,bre->brij",
-                h.astype(compute_dtype),
-                e_sel.astype(compute_dtype),
-                preferred_element_type=jnp.float32,
-            )
-            + b_sel[:, :, None, None]
-        )
-        return jax.nn.log_sigmoid(logits)
+        return _contract_ll(h)
 
     block = cfg.tpu.rel_block_size
     if block and block < O:
@@ -237,16 +379,7 @@ def rel_cache(
                     preferred_element_type=jnp.float32,
                 ) + lp["b"]
             h = jax.nn.sigmoid(h)
-            logits = (
-                jnp.einsum(
-                    "bije,bre->brij",
-                    h.astype(compute_dtype),
-                    e_sel.astype(compute_dtype),
-                    preferred_element_type=jnp.float32,
-                )
-                + b_sel[:, :, None, None]
-            )
-            return jax.nn.log_sigmoid(logits)
+            return _contract_ll(h)
 
         out = jax.lax.map(blk_fn, jnp.arange(nblk))  # (nblk, B, R, block, O)
         out = jnp.moveaxis(out, 0, 2).reshape(B, R, nblk * block, O)[:, :, :O]
@@ -283,7 +416,12 @@ def rel_cache_shared(
     compute_dtype = jnp.dtype(cfg.tpu.compute_dtype)
 
     U, O, d_att = attr_in_u.shape
-    use_kernel = cfg.tpu.use_pallas and O >= 64 and jax.default_backend() == "tpu"
+    # the Mosaic kernel contracts scalar (F=1) caches; the trainable-
+    # interpreter feature path stays on the XLA tail below
+    use_kernel = (
+        cfg.tpu.use_pallas and O >= 64 and jax.default_backend() == "tpu"
+        and cfg.oracle_output_dim == 1
+    )
     if use_kernel:
         # Pad the OBJECT axis to the kernel's 128-lane alignment BEFORE the
         # pair MLP and emit h2 directly in the stream dtype: the O100
@@ -301,7 +439,7 @@ def rel_cache_shared(
     layers = rp["layers"]
     n = len(layers)
     rngs = (
-        jax.random.split(rng, n + 2) if (rng is not None and not deterministic) else [None] * (n + 2)
+        jax.random.split(rng, n + 3) if (rng is not None and not deterministic) else [None] * (n + 3)
     )
     w_s, w_o, w_g, b0 = _first_layer_split(layers[0], d_att)
     x = nn.dropout(attr_in_u, cfg.dropout, rngs[0], deterministic).astype(compute_dtype)
@@ -363,7 +501,23 @@ def rel_cache_shared(
         )
         + b_sel[:, :, None, None]
     )
-    ll = jax.nn.log_sigmoid(logits)
+    if cfg.oracle_output_dim > 1 and "op_modules" in params:
+        e_sel_x, b_sel_x = _extra_emb_select(params, tok0)
+        logits_x = (
+            jnp.einsum(
+                "bije,bref->brijf",
+                h2_q.astype(compute_dtype),
+                e_sel_x.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b_sel_x[:, :, None, None, :]
+        )
+        ll = _op_module_ll(
+            params, cfg, logits, logits_x, arity=2, rng=rngs[n + 2],
+            deterministic=deterministic,
+        )
+    else:
+        ll = jax.nn.log_sigmoid(logits)
     pad_slot = (rel_tokens == 0)[:, :, None, None]
     return jnp.where(pad_slot, default_ll, ll)
 
@@ -419,6 +573,19 @@ def rel_scores_for_pairs(
         logits = jnp.dot(hmid, w_sel, preferred_element_type=jnp.float32) + jnp.take(
             emb_b, rel_cols, axis=0
         )
+    if cfg.oracle_output_dim > 1 and "op_modules" in params:
+        # trainable interpreter: listed-pair scores feed arity-2 cells too
+        w_f = params["embedding_extra"]["w"]  # (E, V_pad, F-1)
+        b_f = params["embedding_extra"]["b"]
+        if rel_cols is not None:
+            w_f = jnp.take(w_f, rel_cols, axis=1)
+            b_f = jnp.take(b_f, rel_cols, axis=0)
+        logits_x = (
+            jnp.einsum("bpe,evk->bpvk", hmid, w_f, preferred_element_type=jnp.float32)
+            + b_f
+        )
+        return _op_module_ll(params, cfg, logits, logits_x, arity=2, rng=None,
+                             deterministic=deterministic)
     return jax.nn.log_sigmoid(logits)
 
 

@@ -87,6 +87,16 @@ def param_sharding(params: Dict[str, Any], mesh: Mesh, fsdp: bool = False) -> Di
                 "w": NamedSharding(mesh, P(row, "model")),
                 "b": NamedSharding(mesh, P("model")),
             }
+    if _has_model_axis(mesh) and "embedding_extra" in params:
+        # trainable-interpreter extra channels (E, V, F-1): same vocab split
+        V = params["embedding_extra"]["b"].shape[0]
+        if V % mesh.shape["model"] == 0:
+            D = params["embedding_extra"]["w"].shape[0]
+            row = "data" if fsdp and D % mesh.shape.get("data", 1) == 0 else None
+            shardings["embedding_extra"] = {
+                "w": NamedSharding(mesh, P(row, "model", None)),
+                "b": NamedSharding(mesh, P("model", None)),
+            }
     return shardings
 
 

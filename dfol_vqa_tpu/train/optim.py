@@ -38,6 +38,11 @@ def trainable_labels(params: Dict[str, Any], cfg: Config) -> Dict[str, Any]:
             if sub == "b" and cfg.freeze_embedding_bias:
                 return False
             return not cfg.freeze_embedding_network
+        if top == "embedding_extra":
+            # trainable-interpreter extra concept channels are part of the
+            # embedding head; op_modules (interpreter-level) have no freeze
+            # flag in the reference surface and stay trainable
+            return not cfg.freeze_embedding_network
         if top == "calibrator":
             return not cfg.freeze_attention_network
         return True

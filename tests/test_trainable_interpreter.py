@@ -1,0 +1,177 @@
+"""Trainable-interpreter path (oracle_output_dim > 1).
+
+The reference defines this mode — the oracle emits an F-vector per
+(object, concept) cell and each BatchBayesianLogicCell owns a
+LoglikelihoodMLP reducing it to the scalar the Bayesian update consumes
+(batch_base_ops.py:57-58,190-192; CONFIG_YAML.md:63,77) — but its build path
+is dead upstream: gqa_interpreter_experiments.py:209 reads
+``neural_dict['embedding_network']``, which the ``oracle_output_dim != 1``
+branch (:184-198) never creates, so it crashes before the first forward.
+These tests cover our working, cache-fused resurrection
+(models/oracle.py trainable-interpreter note): per-arity operator modules
+applied once over the full feature caches.
+
+No reference parity is possible (the mode cannot execute upstream); the
+tests therefore pin behavior, gradient flow, and end-to-end learnability.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dfol_vqa_tpu.compiler.program_compiler import OP_RELATE, ProgramCompiler
+from dfol_vqa_tpu.config import Config
+from dfol_vqa_tpu.data.dataset import ProgramDataset
+from dfol_vqa_tpu.data.loader import BatchLoader
+from dfol_vqa_tpu.data.planted import PlantedWorld
+from dfol_vqa_tpu.models.interpreter import Interpreter
+from dfol_vqa_tpu.train.optim import build_optimizer
+from dfol_vqa_tpu.train.trainer import VQATrainer
+
+
+def _tiny_cfg(F=4, operator_layers=None):
+    cfg = Config(
+        box_features_dim=32,
+        oracle_input_dim=24,
+        word_embedding_dim=16,
+        attribute_network_layers_config=[16],
+        relation_network_layers_config=[16],
+        featurizer_layers_config=[],
+        operator_layers_config=[8] if operator_layers is None else operator_layers,
+        oracle_output_dim=F,
+        learning_rate=3e-3,
+        dropout=0.0,
+        weight_decay=0.0,
+        verbose=False,
+    )
+    cfg.tpu.max_object_num = 8
+    return cfg
+
+
+def _world(ontology, cfg, seed=0, noise=0.05):
+    return PlantedWorld(ontology, box_dim=32, n_nouns=4, n_attrs=3, n_images=64,
+                        min_objects=3, max_objects=8, noise=noise, seed=seed)
+
+
+def _loader(qs, ontology, world, batch=32, shuffle=False):
+    compiler = ProgramCompiler(ontology, object_num=8, rel_slots=2)
+    return BatchLoader([ProgramDataset(qs, ontology)], compiler, world, batch, 8,
+                       shuffle=shuffle, prefetch=0)
+
+
+def test_init_params_have_operator_modules(ontology):
+    cfg = _tiny_cfg(F=4)
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    assert "op_modules" in params and "embedding_extra" in params
+    # F-channel head: (E, V_pad, F-1); modules map F -> hidden -> 1
+    E, Vp, Fm1 = params["embedding_extra"]["w"].shape
+    assert Fm1 == 3 and E == cfg.embedding_input_dim
+    a1 = params["op_modules"]["arity1"]["layers"]
+    assert a1[0]["w"].shape == (4, 8) and a1[-1]["w"].shape == (8, 1)
+
+
+def test_operator_layers_none_rejected(ontology):
+    cfg = _tiny_cfg(F=2, operator_layers=0)
+    cfg.operator_layers_config = None
+    interp = Interpreter(cfg, ontology)
+    with pytest.raises(ValueError, match="operator_layers_config"):
+        interp.init_params(jax.random.PRNGKey(0))
+
+
+def test_freeze_embedding_covers_extra_channels(ontology):
+    """freeze_embedding_network freezes the extra concept channels too;
+    op_modules (interpreter-level, no reference freeze flag) stay live."""
+    from dfol_vqa_tpu.train.optim import trainable_labels
+
+    cfg = _tiny_cfg(F=2)
+    cfg.freeze_embedding_network = True
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    labels = trainable_labels(params, cfg)
+    assert set(jax.tree_util.tree_leaves(labels["embedding_extra"])) == {"freeze"}
+    assert set(jax.tree_util.tree_leaves(labels["op_modules"])) == {"train"}
+
+
+def test_forward_runs_all_terminals(ontology):
+    """Every planted terminal family executes under F=4 with finite outputs."""
+    cfg = _tiny_cfg(F=4)
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(1))
+    world = _world(ontology, cfg)
+    compiler = ProgramCompiler(ontology, object_num=8, rel_slots=2)
+    datasets = [
+        ProgramDataset(world.generate_family(fam, 8, length=1, seed=3, id_prefix=fam),
+                       ontology)
+        for fam in ("exist", "verify_rel", "query_attr", "choose_rel", "compare")
+    ]
+    seen = set()
+    for b in BatchLoader(datasets, compiler, world, 8, 8, shuffle=False, prefetch=0):
+        out = interp.step(b.spec, is_training=False)(
+            params, jnp.asarray(b.objects), jnp.asarray(b.obj_mask),
+            {k: jnp.asarray(v) for k, v in b.arrays.items()}, None,
+        )
+        lp = np.asarray(out["log_probability"], np.float64)
+        assert np.isfinite(out["loss"]), b.spec.terminal_op
+        assert np.all(lp <= 1e-5), b.spec.terminal_op  # log-probabilities
+        seen.add(b.spec.terminal_op)
+    assert {"exist", "verify_rel", "query_attr", "choose_rel", "compare"} <= seen
+
+
+def test_gradients_reach_operator_modules(ontology):
+    cfg = _tiny_cfg(F=4)
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(2))
+    world = _world(ontology, cfg)
+    qs = world.generate_family("verify_rel", 32, length=1, seed=5)
+    batch = next(iter(_loader(qs, ontology, world)))
+    assert any(OP_RELATE in g for g in batch.spec.grid) or \
+        batch.spec.terminal_op == "verify_rel"
+
+    def loss_fn(p):
+        out = interp.forward(
+            p, jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask),
+            {k: jnp.asarray(v) for k, v in batch.arrays.items()},
+            batch.spec, is_training=True, rng=None,
+        )
+        return out["loss"]
+
+    grads = jax.grad(loss_fn)(params)
+    for arity in ("arity1", "arity2"):
+        g = jax.tree_util.tree_leaves(grads["op_modules"][arity])
+        norm = float(sum(jnp.sum(jnp.abs(x)) for x in g))
+        assert norm > 0.0, f"no gradient reached op_modules[{arity}]"
+    gx = jax.tree_util.tree_leaves(grads["embedding_extra"])
+    assert float(sum(jnp.sum(jnp.abs(x)) for x in gx)) > 0.0
+
+
+def test_trainable_interpreter_learns(ontology):
+    """Answer-only supervision still learns with the F=4 feature oracle +
+    operator modules in the loop (the whole point of the mode)."""
+    cfg = _tiny_cfg(F=4)
+    world = _world(ontology, cfg)
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    train_qs = world.generate(256, hops=1, seed=1)
+    test_qs = world.generate(64, hops=1, seed=2)
+
+    trainer = VQATrainer(cfg, interp)
+    trainer._tx = build_optimizer(cfg, params)
+    opt_state = trainer._tx.init(params)
+    rng = jax.random.PRNGKey(0)
+    step = 0
+    while step < 240:
+        for batch in _loader(train_qs, ontology, world, shuffle=True):
+            if step >= 240:
+                break
+            fn = trainer._train_step(batch.spec)
+            params, opt_state, loss, _, rng = fn(
+                params, opt_state, jnp.asarray(batch.objects),
+                jnp.asarray(batch.obj_mask),
+                {k: jnp.asarray(v) for k, v in batch.arrays.items()}, rng,
+            )
+            step += 1
+    err = trainer.test_epoch(_loader(test_qs, ontology, world), params)
+    acc = 1.0 - err[0]
+    assert acc > 0.7, f"trainable interpreter failed to learn: acc={acc}"

@@ -146,6 +146,42 @@ def test_gradients_reach_operator_modules(ontology):
     assert float(sum(jnp.sum(jnp.abs(x)) for x in gx)) > 0.0
 
 
+def test_warm_start_from_f1_checkpoint(ontology, tmp_path):
+    """A trained F=1 oracle checkpoint partial-restores into the F=4 model:
+    shared subtrees (featurizer/attr/rel/embedding) transfer, the
+    trainable-interpreter extras keep their init — the practical migration
+    path for turning the mode on mid-curriculum (reference strict=False
+    analog, batch_base_interpreter.py:42-43)."""
+    from dfol_vqa_tpu.train import checkpoint
+
+    cfg1 = _tiny_cfg(F=1)
+    interp1 = Interpreter(cfg1, ontology)
+    params1 = interp1.init_params(jax.random.PRNGKey(9))
+    checkpoint.save(str(tmp_path), "oracle_f1", params1, global_step=7)
+    checkpoint.wait_pending()
+
+    cfg4 = _tiny_cfg(F=4)
+    interp4 = Interpreter(cfg4, ontology)
+    params4 = interp4.init_params(jax.random.PRNGKey(10))
+    init_extra = jax.tree_util.tree_leaves(params4["embedding_extra"])
+    restored, step = checkpoint.load(str(tmp_path), "oracle_f1", params4)
+    assert step == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored["embedding"]["w"]), np.asarray(params1["embedding"]["w"])
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(restored["embedding_extra"]), init_extra):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the restored hybrid executes
+    world = _world(ontology, cfg4)
+    qs = world.generate_family("exist", 8, length=1, seed=11)
+    b = next(iter(_loader(qs, ontology, world, batch=8)))
+    out = interp4.step(b.spec, is_training=False)(
+        restored, jnp.asarray(b.objects), jnp.asarray(b.obj_mask),
+        {k: jnp.asarray(v) for k, v in b.arrays.items()}, None,
+    )
+    assert np.isfinite(float(out["loss"]))
+
+
 def test_trainable_interpreter_learns(ontology):
     """Answer-only supervision still learns with the F=4 feature oracle +
     operator modules in the loop (the whole point of the mode)."""

@@ -21,6 +21,10 @@ def main():
     ap.add_argument("--r02", default=os.path.join(REPO, "CURRICULUM_r02.json"))
     ap.add_argument("--out", default=os.path.join(REPO, "CURRICULUM_r03.json"))
     ap.add_argument("--note", default="")
+    ap.add_argument("--prepad", default=None, help=(
+        "earlier TPU artifact run WITHOUT tpu.pad_chunks (one executable "
+        "per partial-chunk tail length); adds a compile_hygiene section "
+        "comparing cold per-stage wall-clock"))
     args = ap.parse_args()
 
     prod = json.load(open(args.prod))
@@ -49,6 +53,29 @@ def main():
             ),
         }
 
+    compile_hygiene = None
+    if args.prepad and os.path.exists(args.prepad):
+        pre = json.load(open(args.prepad))
+        pre_secs = [s["seconds"] for s in pre["production"]["stages"]]
+        pad_secs = [s["seconds"] for s in prod["stages"]]
+        compile_hygiene = {
+            "prepad_cold_stage_seconds": pre_secs,
+            "padded_cold_stage_seconds": pad_secs,
+            "prepad_total": round(sum(pre_secs), 1),
+            "padded_total": round(sum(pad_secs), 1),
+            "worst_stage_prepad": round(max(pre_secs), 1),
+            "worst_stage_padded": round(max(pad_secs), 1),
+            "note": (
+                "Both are COLD runs (fresh jit-cache dir) of the identical "
+                "recipe/seed on the TPU. Without tpu.pad_chunks every "
+                "partial train/eval chunk tail length is a distinct XLA "
+                "executable; one stray compile on the shared compile "
+                "service stalled stage 4 ~45 min. With pad_chunks (default "
+                "on) partial chunks pad to one n_valid-gated executable per "
+                "bucket spec, eliminating the tail-length compile family."
+            ),
+        }
+
     artifact = {
         "description": (
             "The reference's 8-stage curriculum (README.md:77-100) executed "
@@ -67,6 +94,7 @@ def main():
         "production": prod,
         "stressed": stressed,
         "tpu_vs_cpu_timing": timing,
+        "compile_hygiene": compile_hygiene,
         "summary": {
             "production_final_acc": prod["stages"][-1]["test_acc_overall"],
             "stressed_final_acc": stressed["stages"][-1]["test_acc_overall"],

@@ -430,11 +430,14 @@ def measure_train_chunked(hops: int = 2, batch: int = 80, chunk: int = 10) -> fl
 
 
 def measure_train_device(hops: int = 2, batch: int = 80, k_small: int = 10,
-                         k_big: int = 130) -> float:
+                         k_big: int = 130, want_cost: bool = False):
     """Pure per-step DEVICE time for the fused train chunk: time a chunk of
     k_big fused optimizer steps and a chunk of k_small, difference out the
     per-dispatch RPC/transfer constant (same methodology as
-    measure_device). Returns train questions/sec of device capability."""
+    measure_device). Returns train questions/sec of device capability;
+    with ``want_cost`` also the per-step XLA flop and bytes-accessed counts
+    (from the chunk=1 executable, so scan trip-count ambiguity never
+    enters) for the train-side roofline rows."""
     import jax
     import jax.numpy as jnp
 
@@ -458,6 +461,24 @@ def measure_train_device(hops: int = 2, batch: int = 80, k_small: int = 10,
     trainer._tx = build_optimizer(interp.cfg, host_params)
     spec, obj, mask, arrays, meta, packed = batches[0]
 
+    flops = bytes_acc = None
+    if want_cost:
+        try:
+            fn1 = trainer._train_step_chunk(spec, meta, 1)
+            p = jax.device_put(host_params)
+            o = trainer._tx.init(p)
+            cost = fn1.lower(
+                p, o, jnp.asarray(np.stack([obj])), jnp.asarray(np.stack([mask])),
+                jnp.asarray(np.stack([packed])), jax.random.PRNGKey(0),
+            ).compile().cost_analysis()
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            if c and "flops" in c:
+                flops = float(c["flops"])
+            if c and "bytes accessed" in c:
+                bytes_acc = float(c["bytes accessed"])
+        except Exception:
+            pass
+
     times = {}
     for chunk in (k_small, k_big):
         objs = jnp.asarray(np.stack([obj] * chunk))
@@ -479,8 +500,10 @@ def measure_train_device(hops: int = 2, batch: int = 80, k_small: int = 10,
         # min, not median: the long chunk's device time is a hard floor and
         # tunnel-RTT spikes only ever add to it
         times[chunk] = float(np.min(reps))
-    sec_per_step = (times[k_big] - times[k_small]) / (k_big - k_small)
-    return batch / max(sec_per_step, 1e-9)
+    sec_per_step = max((times[k_big] - times[k_small]) / (k_big - k_small), 1e-9)
+    if want_cost:
+        return batch / sec_per_step, sec_per_step, flops, bytes_acc
+    return batch / sec_per_step
 
 
 def measure_eval_epoch(eval_chunk: int, n_batches: int = 30,
@@ -639,18 +662,40 @@ def main():
         eval_epoch_qps_chunk8 = measure_eval_epoch(eval_chunk=8)
     except Exception:
         eval_epoch_qps_chunk1 = eval_epoch_qps_chunk8 = None
-    try:
-        train_device_qps = measure_train_device(hops=2, batch=80)
-    except Exception:
-        train_device_qps = None
-    # train-side occupancy ladder point: does a big batch lift device-side
-    # training throughput the way it lifts eval? (VERDICT r2 item 3)
-    try:
-        train_device_qps_512 = measure_train_device(
-            hops=2, batch=512, k_small=4, k_big=34
-        )
-    except Exception:
-        train_device_qps_512 = None
+    # train-side roofline rows (VERDICT r2 item 3 asked for eval AND train):
+    # same differencing methodology, flop/bytes from the chunk=1 executable
+    peak_ = _peak_flops(device_kind)
+    bw_ = _peak_bw(device_kind)
+
+    def train_row(batch, **kw):
+        try:
+            qps, sec, flops, bytes_acc = measure_train_device(
+                hops=2, batch=batch, want_cost=True, **kw
+            )
+        except Exception as e:
+            return None, {"batch": batch, "error": str(e)[:200]}
+        row = {"batch": batch, "device_ms_per_step": round(sec * 1e3, 3),
+               "qps": round(qps, 1)}
+        if flops:
+            row["tflops_per_s"] = round(flops / sec / 1e12, 2)
+            if peak_:
+                row["mfu"] = round(flops / sec / peak_, 4)
+        if flops and bytes_acc:
+            intensity = flops / bytes_acc
+            row["arith_intensity_flops_per_byte"] = round(intensity, 2)
+            if peak_ and bw_:
+                ridge = peak_ / bw_
+                row["bw_bound_mfu"] = round(min(1.0, intensity / ridge), 4)
+                row["achieved_frac_of_bw_bound"] = (
+                    round((flops / sec / peak_) / min(1.0, intensity / ridge), 3)
+                    if intensity > 0 else None
+                )
+                row["xla_bytes_gbps"] = round(bytes_acc / sec / 1e9, 1)
+        return qps, row
+
+    train_device_qps, train_row_80 = train_row(80)
+    train_device_qps_512, train_row_512 = train_row(512, k_small=4, k_big=34)
+    train_roofline = [r for r in (train_row_80, train_row_512) if r]
 
     base_1 = baseline["exist_1hop"]["questions_per_sec"] if baseline else None
     base_3 = baseline["exist_3hop_relational"]["questions_per_sec"] if baseline else None
@@ -705,6 +750,7 @@ def main():
             "train_device_qps_batch80": (
                 round(train_device_qps, 2) if train_device_qps else None
             ),
+            "train_roofline": train_roofline,
             "train_device_qps_batch512": (
                 round(train_device_qps_512, 2) if train_device_qps_512 else None
             ),

@@ -182,6 +182,37 @@ def test_warm_start_from_f1_checkpoint(ontology, tmp_path):
     assert np.isfinite(float(out["loss"]))
 
 
+def test_f2_relation_paths_agree(ontology):
+    """The three relation-cache formulations (per-question, O-blocked,
+    shared-image XLA tail) produce identical F>1 log-likelihoods."""
+    from dfol_vqa_tpu.models import oracle as om
+
+    cfg = _tiny_cfg(F=2)
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(3))
+    B, O = 3, 8
+    key = jax.random.PRNGKey(4)
+    k1, k2 = jax.random.split(key)
+    attr_in = jax.random.normal(k1, (B, O, cfg.attr_input_dim))
+    pos = jax.random.uniform(k2, (B, O, 4))
+    rel_tokens = jnp.asarray([[5, 9], [9, 0], [12, 5]], jnp.int32)
+
+    base = om.rel_cache(params, attr_in, pos, rel_tokens, cfg)
+    assert base.shape == (B, 2, O, O)
+
+    cfg_blk = _tiny_cfg(F=2)
+    cfg_blk.tpu.rel_block_size = 4
+    blocked = om.rel_cache(params, attr_in, pos, rel_tokens, cfg_blk)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(blocked),
+                               rtol=1e-6, atol=1e-6)
+
+    shared = om.rel_cache_shared(
+        params, attr_in, pos, jnp.arange(B, dtype=jnp.int32), rel_tokens, cfg
+    )
+    np.testing.assert_allclose(np.asarray(base), np.asarray(shared),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_trainable_interpreter_learns(ontology):
     """Answer-only supervision still learns with the F=4 feature oracle +
     operator modules in the loop (the whole point of the mode)."""

@@ -85,11 +85,13 @@ def run_arm(F, args, seed):
     trainer._tx = build_optimizer(cfg, params)
     opt_state = trainer._tx.init(params)
     rng = jax.random.PRNGKey(seed)
+    eval_points = sorted(args.step_list)
     step, epoch = 0, 0
     t0 = time.time()
-    while step < args.steps:
+    acc_at = {}
+    while step < eval_points[-1]:
         for batch in loader(train_qs, True, seed + epoch):
-            if step >= args.steps:
+            if step >= eval_points[-1]:
                 break
             fn = trainer._train_step(batch.spec)
             params, opt_state, loss, _, rng = fn(
@@ -98,22 +100,27 @@ def run_arm(F, args, seed):
                 {k: jnp.asarray(v) for k, v in batch.arrays.items()}, rng,
             )
             step += 1
+            if step in eval_points:
+                err = trainer.test_epoch(loader(test_qs, False, 0), params)
+                acc_at[step] = round(float(1.0 - err[0]), 4)
         epoch += 1
-    err = trainer.test_epoch(loader(test_qs, False, 0), params)
-    return {"acc": round(float(1.0 - err[0]), 4),
+    return {"acc_at_step": acc_at, "acc": acc_at[eval_points[-1]],
             "seconds": round(time.time() - t0, 1),
             "param_count": interp.parameter_count(params)}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--steps", default="600",
+                    help="comma-separated eval budgets; one run per seed "
+                         "evaluated at each point (e.g. 600,1800)")
     ap.add_argument("--noise", type=float, default=0.35)
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--f-dim", type=int, default=4)
     ap.add_argument("--json", default=None)
     ap.add_argument("--tpu", action="store_true")
     args = ap.parse_args()
+    args.step_list = [int(s) for s in str(args.steps).split(",")]
 
     if not args.tpu:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -125,12 +132,17 @@ def main():
     for F in (1, args.f_dim):
         rows = [run_arm(F, args, s) for s in range(args.seeds)]
         accs = [r["acc"] for r in rows]
+        mean_at = {
+            str(p): round(float(np.mean([r["acc_at_step"][p] for r in rows])), 4)
+            for p in args.step_list
+        }
         arms[f"F{F}"] = {
             "runs": rows,
             "mean_acc": round(float(np.mean(accs)), 4),
             "std_acc": round(float(np.std(accs)), 4),
+            "mean_acc_at_step": mean_at,
         }
-        print(f"[ablation] F={F}: accs={accs} mean={arms[f'F{F}']['mean_acc']}")
+        print(f"[ablation] F={F}: accs={accs} mean_at={mean_at}")
 
     out = {
         "description": (
@@ -140,7 +152,7 @@ def main():
             "The mode cannot run in the reference (build crash), so this "
             "is capability beyond upstream, quantified."
         ),
-        "steps": args.steps, "noise": args.noise, "n_seeds": args.seeds,
+        "steps": args.step_list, "noise": args.noise, "n_seeds": args.seeds,
         "families": list(FAMILIES),
         "arms": arms,
         "delta_mean_acc": round(

@@ -1,0 +1,237 @@
+"""Online serving benchmark: latency/throughput under open-loop load.
+
+The reference has no online inference path at all — its only serving story
+is the offline dataset-order predict loop (reference
+src/nsvqa/train/trainer.py:685-760). This measures the serving engine
+(dfol_vqa_tpu/serve.py) the way an online system is measured:
+
+  * OPEN-LOOP offered load (Poisson arrivals at fixed rates): per-request
+    latency percentiles from arrival to host readback of the answer —
+    the only honest completion barrier under the axon remote-TPU frontend
+    (block_until_ready resolves on enqueue; see bench.py methodology).
+  * CLOSED-LOOP saturation: submit a large pool as fast as the host can,
+    measure sustained answered-questions/sec.
+
+Environment caveats recorded in the artifact: this dev host has ONE CPU
+core (the load generator, the dispatcher thread and numpy batch prep all
+share it) and the TPU sits behind a ~30 ms RTT tunnel that bounds
+per-batch latency from below; production hosts feed locally-attached
+chips from many cores.
+
+Usage:
+  python scripts/serving_bench.py --tpu --out SERVING_r03.json
+  python scripts/serving_bench.py            # CPU smoke (tiny dims)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FAMILIES = [
+    "exist", "verify_attrs", "query_attr", "choose_attr", "choose_rel",
+    "verify_rel", "and", "or", "two_different", "two_same", "compare",
+    "all_same", "all_different",
+]
+
+
+def build(args):
+    from dfol_vqa_tpu.config import Config
+    from dfol_vqa_tpu.data.planted import PlantedWorld
+    from dfol_vqa_tpu.models.interpreter import Interpreter
+    from dfol_vqa_tpu.ontology import GQAOntology
+    from dfol_vqa_tpu.serve import ServingEngine
+
+    import jax
+
+    if args.tiny:
+        cfg = Config(
+            box_features_dim=32, oracle_input_dim=24, word_embedding_dim=16,
+            attribute_network_layers_config=[16],
+            relation_network_layers_config=[16],
+            featurizer_layers_config=[], dropout=0.0, verbose=False,
+        )
+        cfg.tpu.max_object_num = 8
+    else:
+        cfg = Config()  # production dims (2048-d boxes, 512-d oracle)
+        cfg.tpu.max_object_num = args.objects
+    ont = GQAOntology()
+    interp = Interpreter(cfg, ont)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    world = PlantedWorld(
+        ont, box_dim=cfg.box_features_dim, n_nouns=6, n_attrs=4,
+        n_images=48, min_objects=4, max_objects=cfg.tpu.max_object_num,
+        noise=0.1, seed=0,
+    )
+    eng = ServingEngine(
+        cfg, ont, params, features=world,
+        max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
+        transfer_dtype=None if args.tiny else "bfloat16",
+    )
+    return cfg, ont, world, eng
+
+
+def request_pool(world, object_num, n_per, lengths, seed=0):
+    qs = []
+    for fi, fam in enumerate(FAMILIES):
+        for li, ln in enumerate(lengths):
+            qs.extend(world.generate_family(
+                fam, n_per, length=ln, seed=seed + 10 * fi + li,
+                id_prefix=f"s{fam}{ln}-",
+            ))
+    rng = np.random.default_rng(seed)
+    rng.shuffle(qs)
+    # pre-resolve features so the load generator measures serving, not
+    # synthetic-feature generation
+    feats = {}
+    for q in qs:
+        im = q["imageId"]
+        if im not in feats:
+            feats[im] = world.batch([im], object_num)
+    return qs, feats
+
+
+def pctl(xs, p):
+    return float(np.percentile(np.asarray(xs), p)) if len(xs) else None
+
+
+def run_open_loop(eng, qs, feats, rate_qps, duration_s, seed=0):
+    """Poisson arrivals at rate_qps for duration_s; returns latency stats."""
+    rng = np.random.default_rng(seed)
+    t = 0.0
+    schedule = []
+    while t < duration_s:
+        t += rng.exponential(1.0 / rate_qps)
+        schedule.append(t)
+    futs = []
+    t0 = time.perf_counter()
+    dropped = 0
+    for i, at in enumerate(schedule):
+        now = time.perf_counter() - t0
+        wait = at - now
+        if wait > 0:
+            time.sleep(wait)
+        elif wait < -2.0:
+            dropped += 1  # generator fell >2 s behind: count, don't submit
+            continue
+        q = qs[i % len(qs)]
+        objs, mask = feats[q["imageId"]]
+        futs.append(eng.submit(q, objs[0], mask[0]))
+    eng.flush()
+    lats = [f.result().latency_ms for f in futs]
+    wall = time.perf_counter() - t0
+    return {
+        "offered_qps": rate_qps,
+        "achieved_qps": len(lats) / wall,
+        "n": len(lats),
+        "dropped_by_generator": dropped,
+        "latency_ms": {
+            "p50": pctl(lats, 50), "p90": pctl(lats, 90),
+            "p99": pctl(lats, 99), "mean": float(np.mean(lats)),
+        },
+    }
+
+
+def run_closed_loop(eng, qs, feats, n_requests):
+    futs = []
+    t0 = time.perf_counter()
+    for i in range(n_requests):
+        q = qs[i % len(qs)]
+        objs, mask = feats[q["imageId"]]
+        futs.append(eng.submit(q, objs[0], mask[0]))
+    eng.flush()
+    lats = [f.result().latency_ms for f in futs]
+    wall = time.perf_counter() - t0
+    return {
+        "n": n_requests,
+        "sustained_qps": n_requests / wall,
+        "wall_s": wall,
+        "latency_ms": {"p50": pctl(lats, 50), "p99": pctl(lats, 99)},
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tpu", action="store_true", help="require the TPU backend")
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke dims")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--objects", type=int, default=24)
+    ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--max-delay-ms", type=float, default=10.0)
+    ap.add_argument("--loads", default="50,200,1000")
+    ap.add_argument("--duration", type=float, default=8.0)
+    ap.add_argument("--closed-n", type=int, default=2000)
+    args = ap.parse_args()
+    if not args.tpu:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    import jax
+
+    backend = jax.default_backend()
+    if args.tpu and backend != "tpu":
+        raise SystemExit(f"--tpu requested but backend is {backend}")
+
+    cfg, ont, world, eng = build(args)
+    qs, feats = request_pool(world, cfg.tpu.max_object_num, n_per=4,
+                             lengths=(0, 1, 2), seed=3)
+    print(f"[serving_bench] backend={backend} pool={len(qs)} questions", flush=True)
+
+    # warmup: precompile every canonical spec in the pool at every batch rung
+    # the policy can produce — serving then mints zero compilations
+    winfo = eng.warmup(qs)
+    warm_s, warm_steps = winfo["seconds"], eng.stats["compiled_steps"]
+    print(f"[serving_bench] warmup {winfo}", flush=True)
+
+    rows = []
+    for rate in [float(x) for x in args.loads.split(",") if x]:
+        eng.stats["latencies_ms"].clear()
+        row = run_open_loop(eng, qs, feats, rate, args.duration)
+        rows.append(row)
+        print(f"[serving_bench] open-loop {row}", flush=True)
+
+    closed = run_closed_loop(eng, qs, feats, args.closed_n)
+    print(f"[serving_bench] closed-loop {closed}", flush=True)
+
+    post_steps = eng.stats["compiled_steps"]
+    out = {
+        "device": str(jax.devices()[0]),
+        "backend": backend,
+        "dims": {
+            "box_features_dim": cfg.box_features_dim,
+            "oracle_input_dim": cfg.oracle_input_dim,
+            "objects": cfg.tpu.max_object_num,
+        },
+        "policy": {
+            "max_batch": args.max_batch,
+            "max_delay_ms": args.max_delay_ms,
+            "transfer_dtype": eng.transfer_dtype,
+        },
+        "warmup": {"seconds": warm_s, "executables": warm_steps},
+        "executables_after_load": post_steps,
+        "open_loop": rows,
+        "closed_loop": closed,
+        "engine_stats": {k: v for k, v in eng.stats.items() if k != "latencies_ms"},
+        "methodology": (
+            "Per-request latency = arrival to host readback of answer flags "
+            "(readback is the only honest barrier under the axon frontend). "
+            "Open loop = Poisson arrivals; generator lag > 2 s drops instead "
+            "of back-pressuring. Single-core dev host + ~30 ms tunnel RTT "
+            "bound the floor; the reference has no online path to compare "
+            "(its offline predict measured 23.5 q/s on CPU, BASELINE_MEASURED)."
+        ),
+    }
+    eng.stop()
+    js = json.dumps(out, indent=1)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(js)
+    print(js)
+
+
+if __name__ == "__main__":
+    main()

@@ -168,9 +168,15 @@ def main():
     ap.add_argument("--closed-n", type=int, default=2000)
     args = ap.parse_args()
     if not args.tpu:
+        # all three are needed — the axon TPU plugin ignores JAX_PLATFORMS
+        # alone and would then hang on an unreachable tunnel
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 
     import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
 
     backend = jax.default_backend()
     if args.tpu and backend != "tpu":

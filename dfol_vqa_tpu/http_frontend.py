@@ -1,0 +1,167 @@
+"""HTTP frontend for the online serving engine (stdlib-only).
+
+The reference has no serving daemon at all — its inference surface is a
+CLI that writes a predictions JSON offline (reference
+src/nsvqa/train/trainer.py:685-760 via gqa_interpreter_experiments.py -p).
+This wraps ``ServingEngine`` (serve.py) in a threaded HTTP server so the
+continuous batcher sees genuinely concurrent traffic: each connection gets
+a handler thread, ``submit`` does the per-request compile/canonicalize work
+on that thread, and the threads then block on their futures while the
+dispatcher aggregates same-spec requests into padded device batches.
+
+Endpoints (JSON in/out):
+
+  GET  /healthz      -> {"ok": true, "backend": ...}
+  GET  /stats        -> engine counters + latency percentiles
+  POST /v1/answer    -> {"question": {...}, "objects"?: [[..]], "obj_mask"?: [..]}
+                        -> {"answers": [...], "latency_ms", "batch_size"}
+  POST /v1/answers   -> {"questions": [{...}, ...]} -> {"results": [...]}
+
+``objects``/``obj_mask`` are optional when the engine owns a FeatureSource
+(then ``question["imageId"]`` is looked up). Questions use the reference's
+preprocessed program schema — the same dicts the offline loaders consume.
+
+Start a demo server (planted world + random or checkpointed weights):
+
+    python scripts/http_serve.py --port 8787 [--ckpt DIR --ckpt-name best]
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+
+def _latency_summary(lats) -> dict:
+    xs = np.asarray(lats, dtype=np.float64)
+    if xs.size == 0:
+        return {"n": 0}
+    return {
+        "n": int(xs.size),
+        "p50_ms": float(np.percentile(xs, 50)),
+        "p90_ms": float(np.percentile(xs, 90)),
+        "p99_ms": float(np.percentile(xs, 99)),
+        "mean_ms": float(xs.mean()),
+    }
+
+
+class ServingHTTPFrontend:
+    """Threaded HTTP server over a running ServingEngine.
+
+    ``port=0`` binds an ephemeral port (read ``.port`` after construction —
+    the tests use this). ``serve_forever`` runs on a daemon thread so the
+    caller owns the lifecycle; ``close()`` stops the server (the engine is
+    NOT stopped — it may be shared)."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        frontend = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # quiet: one access-log line per request ruins benchmark loops
+            def log_message(self, fmt, *args):
+                pass
+
+            def _reply(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._reply(200, frontend.healthz())
+                elif self.path == "/stats":
+                    self._reply(200, frontend.stats())
+                else:
+                    self._reply(404, {"error": f"no such path: {self.path}"})
+
+            def do_POST(self):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except (ValueError, json.JSONDecodeError) as e:
+                    return self._reply(400, {"error": f"bad JSON: {e}"})
+                try:
+                    if self.path == "/v1/answer":
+                        self._reply(200, frontend.answer(req))
+                    elif self.path == "/v1/answers":
+                        self._reply(200, frontend.answers(req))
+                    else:
+                        self._reply(404, {"error": f"no such path: {self.path}"})
+                except (KeyError, ValueError, TypeError) as e:
+                    self._reply(400, {"error": str(e)})
+                except Exception as e:  # engine-side failure: surface as 500
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        self._server = ThreadingHTTPServer((host, port), Handler)
+        self._server.daemon_threads = True
+        self.host, self.port = self._server.server_address[:2]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------- handlers
+
+    def healthz(self) -> dict:
+        import jax
+
+        return {"ok": True, "backend": jax.default_backend()}
+
+    def stats(self) -> dict:
+        s = self.engine.stats
+        out = {k: v for k, v in s.items() if k != "latencies_ms"}
+        out["latency"] = _latency_summary(s["latencies_ms"])
+        out["pending"] = sum(len(q) for q in self.engine._pending.values())
+        return out
+
+    def _submit(self, req: dict):
+        q = req["question"]
+        objs = req.get("objects")
+        mask = req.get("obj_mask")
+        if objs is not None:
+            objs = np.asarray(objs, dtype=np.float32)
+            if mask is None:
+                raise ValueError("objects given without obj_mask")
+            mask = np.asarray(mask, dtype=np.float32)
+        return self.engine.submit(q, objs, mask)
+
+    @staticmethod
+    def _result_json(r) -> dict:
+        return {
+            "answers": r.answers,
+            "latency_ms": r.latency_ms,
+            "batch_size": r.batch_size,
+        }
+
+    def answer(self, req: dict) -> dict:
+        return self._result_json(self._submit(req).result())
+
+    def answers(self, req: dict) -> dict:
+        futs = [
+            self._submit({"question": q, **extra})
+            for q, extra in _per_question(req)
+        ]
+        return {"results": [self._result_json(f.result()) for f in futs]}
+
+    def close(self):
+        self._server.shutdown()
+        self._server.server_close()
+
+
+def _per_question(req: dict):
+    qs = req["questions"]
+    objs = req.get("objects")
+    masks = req.get("obj_mask")
+    for i, q in enumerate(qs):
+        extra = {}
+        if objs is not None:
+            extra = {"objects": objs[i], "obj_mask": masks[i]}
+        yield q, extra

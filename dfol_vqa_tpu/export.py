@@ -71,7 +71,12 @@ def meta_from_json(rows: list) -> Tuple:
 
 
 def _sds(x) -> jax.ShapeDtypeStruct:
-    return jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype)
+    # read .dtype directly when present (jax arrays expose it without a
+    # device->host transfer; np.asarray would read back every parameter)
+    dtype = getattr(x, "dtype", None)
+    if dtype is None:
+        dtype = np.asarray(x).dtype
+    return jax.ShapeDtypeStruct(np.shape(x), dtype)
 
 
 def export_serving_set(
@@ -131,6 +136,10 @@ def export_serving_set(
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "transfer_dtype": engine.transfer_dtype,
         "object_num": engine.cfg.tpu.max_object_num,
+        "rel_table_size": engine.cfg.tpu.rel_table_size,
+        "option_pad_ladder": list(engine.cfg.tpu.option_pad_ladder),
+        "seg_ladder": list(engine.seg_ladder),
+        "fill_ladder": list(engine.fill_ladder),
         "batch_sizes": list(batch_sizes),
         "n_specs": len(reps),
         "executables": entries,
@@ -140,16 +149,46 @@ def export_serving_set(
     return manifest
 
 
-def load_serving_set(in_dir: str) -> Dict[tuple, object]:
+def load_serving_set(in_dir: str, engine=None) -> Dict[tuple, object]:
     """Deserialize an exported artifact into the ``executables`` mapping
     ``ServingEngine`` consumes: (BucketSpec, meta) -> jax.export.Exported.
 
     No model code runs here — only StableHLO deserialization; the engine
-    compiles each module lazily on first use (jax.jit(exp.call))."""
+    compiles each module lazily on first use (jax.jit(exp.call)).
+
+    Pass the consuming ``engine`` to validate compatibility: a mismatched
+    ``object_num`` or batch ladder would otherwise never hit the artifact's
+    keys (the 'never traces' host silently compiles everything), and a
+    mismatched ``transfer_dtype`` would fail at call time."""
     with open(os.path.join(in_dir, MANIFEST)) as f:
         manifest = json.load(f)
     if manifest.get("format") != "dfol_vqa_tpu.serving_set.v1":
         raise ValueError(f"unrecognized artifact format: {manifest.get('format')}")
+    if engine is not None:
+        want = {
+            "object_num": engine.cfg.tpu.max_object_num,
+            "transfer_dtype": engine.transfer_dtype,
+            "rel_table_size": engine.cfg.tpu.rel_table_size,
+            "option_pad_ladder": list(engine.cfg.tpu.option_pad_ladder),
+            "seg_ladder": list(engine.seg_ladder),
+            "fill_ladder": list(engine.fill_ladder),
+        }
+        for k, v in want.items():
+            if manifest.get(k) != v:
+                raise ValueError(
+                    f"artifact/engine mismatch on {k}: artifact has "
+                    f"{manifest.get(k)!r}, engine expects {v!r}"
+                )
+        from dfol_vqa_tpu.compiler.program_compiler import _pad_ladder
+
+        top = _pad_ladder(engine.max_batch, engine.batch_ladder)
+        reachable = {b for b in engine.batch_ladder if b <= top}
+        missing = reachable - set(manifest["batch_sizes"])
+        if missing:
+            raise ValueError(
+                f"artifact lacks batch rungs {sorted(missing)} that the "
+                f"engine's policy can produce (has {manifest['batch_sizes']})"
+            )
     out: Dict[tuple, object] = {}
     for e in manifest["executables"]:
         spec = spec_from_json(e["spec"])

@@ -75,12 +75,15 @@ class ServingHTTPFrontend:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path == "/healthz":
-                    self._reply(200, frontend.healthz())
-                elif self.path == "/stats":
-                    self._reply(200, frontend.stats())
-                else:
-                    self._reply(404, {"error": f"no such path: {self.path}"})
+                try:
+                    if self.path == "/healthz":
+                        self._reply(200, frontend.healthz())
+                    elif self.path == "/stats":
+                        self._reply(200, frontend.stats())
+                    else:
+                        self._reply(404, {"error": f"no such path: {self.path}"})
+                except Exception as e:  # always answer; never drop the socket
+                    self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
             def do_POST(self):
                 try:
@@ -95,7 +98,7 @@ class ServingHTTPFrontend:
                         self._reply(200, frontend.answers(req))
                     else:
                         self._reply(404, {"error": f"no such path: {self.path}"})
-                except (KeyError, ValueError, TypeError) as e:
+                except (KeyError, ValueError, TypeError, IndexError) as e:
                     self._reply(400, {"error": str(e)})
                 except Exception as e:  # engine-side failure: surface as 500
                     self._reply(500, {"error": f"{type(e).__name__}: {e}"})
@@ -117,9 +120,14 @@ class ServingHTTPFrontend:
 
     def stats(self) -> dict:
         s = self.engine.stats
-        out = {k: v for k, v in s.items() if k != "latencies_ms"}
-        out["latency"] = _latency_summary(s["latencies_ms"])
-        out["pending"] = sum(len(q) for q in self.engine._pending.values())
+        # snapshot under the engine lock: _pending and the latency deque are
+        # mutated concurrently by submitters and the dispatcher
+        with self.engine._cond:
+            out = {k: v for k, v in s.items() if k != "latencies_ms"}
+            lats = list(s["latencies_ms"])
+            pending = sum(len(q) for q in self.engine._pending.values())
+        out["latency"] = _latency_summary(lats)
+        out["pending"] = pending
         return out
 
     def _submit(self, req: dict):
@@ -160,6 +168,14 @@ def _per_question(req: dict):
     qs = req["questions"]
     objs = req.get("objects")
     masks = req.get("obj_mask")
+    if objs is not None:
+        if masks is None:
+            raise ValueError("objects given without obj_mask")
+        if len(objs) != len(qs) or len(masks) != len(qs):
+            raise ValueError(
+                f"objects/obj_mask length ({len(objs)}/{len(masks)}) must "
+                f"match questions ({len(qs)})"
+            )
     for i, q in enumerate(qs):
         extra = {}
         if objs is not None:

@@ -59,6 +59,30 @@ def question_type_of(terminal_op: str) -> QuestionType:
     return QuestionType.BINARY
 
 
+def decode_answer_flags(flags, spec, compiled) -> list:
+    """Device answer flags -> per-question answer-string lists (ties kept,
+    in option order — the reference's find_max_ind/unflatten_list semantics,
+    util.py:52-66). The ONE decode shared by the offline trainer and the
+    online serving engine, so the two paths cannot drift."""
+    import numpy as np
+
+    qtype = question_type_of(spec.terminal_op)
+    flags = np.asarray(flags)
+    answers = []
+    for qi in range(len(compiled.image_ids)):
+        if qtype == QuestionType.QUERY:
+            opts = compiled.option_strings[qi]
+            answers.append([opts[k] for k in range(len(opts)) if flags[qi, k]])
+        elif qtype == QuestionType.STATEMENT:
+            # end terminal answers with the set's tracked name
+            # (batch_gqa_ops.py:776-778)
+            names = compiled.names[qi] if compiled.names else ["entity"]
+            answers.append([names[0]])
+        else:
+            answers.append(["yes"] if flags[qi, 0] else ["no"])
+    return answers
+
+
 def spec_needs_relations(spec: BucketSpec) -> bool:
     if spec.terminal_op in ("choose_rel", "verify_rel"):
         return True

@@ -71,9 +71,8 @@ from dfol_vqa_tpu.compiler.program_compiler import (
 from dfol_vqa_tpu.config import Config
 from dfol_vqa_tpu.data.device_prefetch import to_device_batch
 from dfol_vqa_tpu.data.loader import LoadedBatch
-from dfol_vqa_tpu.models.interpreter import Interpreter, question_type_of
+from dfol_vqa_tpu.models.interpreter import Interpreter, decode_answer_flags
 from dfol_vqa_tpu.ontology import GQAOntology
-from dfol_vqa_tpu.types import QuestionType
 
 # ----------------------------------------------------------- canonical grids
 
@@ -219,13 +218,16 @@ class ServeResult:
 class _Request:
     __slots__ = ("question", "objects", "obj_mask", "cb", "future", "t0")
 
-    def __init__(self, question, objects, obj_mask, cb):
+    def __init__(self, question, objects, obj_mask, cb, t0=None):
         self.question = question
         self.objects = objects
         self.obj_mask = obj_mask
         self.cb = cb  # single-question canonicalized CompiledBatch
         self.future: Future = Future()
-        self.t0 = time.perf_counter()
+        # arrival time: callers that do per-request work (featurize, compile,
+        # canonicalize) BEFORE constructing the request pass their entry
+        # timestamp so latency_ms honestly covers arrival -> readback
+        self.t0 = time.perf_counter() if t0 is None else t0
 
 
 class ServingEngine:
@@ -278,6 +280,14 @@ class ServingEngine:
         else:
             self.params = jax.device_put(params)
         self.features = features
+        if int(max_batch) > max(batch_ladder):
+            # beyond the top rung _pad_ladder returns the raw group size, so
+            # every distinct oversized group would mint a fresh executable —
+            # the closed-set invariant would silently break
+            raise ValueError(
+                f"max_batch={max_batch} exceeds the top batch-ladder rung "
+                f"{max(batch_ladder)}; extend batch_ladder instead"
+            )
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
         self.batch_ladder = tuple(batch_ladder)
@@ -329,7 +339,10 @@ class ServingEngine:
         up (per-request featurization, as an online detector front would).
 
         Compilation + canonicalization happen HERE, on the caller's thread
-        (parallel across frontend threads); the dispatcher only concatenates."""
+        (parallel across frontend threads); the dispatcher only concatenates.
+        Latency is measured from THIS entry point, so the per-request
+        featurize/compile/canonicalize work is inside latency_ms."""
+        t0 = time.perf_counter()
         t = question["program"]["last_op"]["operator"]
         if t in SUPERVISION_OPS:
             raise ValueError(
@@ -341,7 +354,7 @@ class ServingEngine:
             )
             objects, obj_mask = objs[0], mask[0]
         key, cb = self._prepare(question)
-        r = _Request(question, np.asarray(objects), np.asarray(obj_mask), cb)
+        r = _Request(question, np.asarray(objects), np.asarray(obj_mask), cb, t0)
         with self._cond:
             if self._stop:
                 raise RuntimeError("engine stopped")
@@ -513,22 +526,17 @@ class ServingEngine:
         try:
             spec, cb, flags, pad = self._execute(key, group)
             t_done = time.perf_counter()
-            qtype = question_type_of(spec.terminal_op)
+            # the decode shared with the offline trainer (padding rows are
+            # decoded too and dropped by the group slice)
+            decoded = decode_answer_flags(flags, spec, cb)
             self.stats["batches"] += 1
             self.stats["padded_rows"] += pad
             for i, r in enumerate(group):
-                if qtype == QuestionType.QUERY:
-                    opts = cb.option_strings[i]
-                    answers = [opts[k] for k in range(len(opts)) if flags[i, k]]
-                elif qtype == QuestionType.STATEMENT:
-                    answers = [cb.names[i][0] if cb.names else "entity"]
-                else:
-                    answers = ["yes"] if flags[i, 0] else ["no"]
                 lat = (t_done - r.t0) * 1e3
                 self.stats["latencies_ms"].append(lat)
                 r.future.set_result(
                     ServeResult(
-                        answers=answers, latency_ms=lat,
+                        answers=decoded[i], latency_ms=lat,
                         batch_size=spec.batch_size, spec=spec,
                     )
                 )

@@ -243,24 +243,10 @@ class VQATrainer:
 
     def decode_answers(self, out, batch: LoadedBatch) -> List[List[str]]:
         """Device answer flags -> answer-string lists (ties kept, in option
-        order — find_max_ind/unflatten_list semantics, util.py:52-66)."""
-        spec = batch.spec
-        qtype = question_type_of(spec.terminal_op)
-        flags = np.asarray(out["answer_flags"])
-        answers: List[List[str]] = []
-        B = len(batch.compiled.image_ids)
-        for qi in range(B):
-            if qtype == QuestionType.QUERY:
-                opts = batch.compiled.option_strings[qi]
-                answers.append([opts[k] for k in range(len(opts)) if flags[qi, k]])
-            elif qtype == QuestionType.STATEMENT:
-                # end terminal answers with the set's tracked name
-                # (batch_gqa_ops.py:776-778)
-                names = batch.compiled.names[qi] if batch.compiled.names else ["entity"]
-                answers.append([names[0]])
-            else:
-                answers.append(["yes"] if flags[qi, 0] else ["no"])
-        return answers
+        order). Delegates to the decode shared with the serving engine."""
+        from dfol_vqa_tpu.models.interpreter import decode_answer_flags
+
+        return decode_answer_flags(out["answer_flags"], batch.spec, batch.compiled)
 
     # ------------------------------------------------------------------ train
 

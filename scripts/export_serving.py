@@ -78,7 +78,7 @@ def main():
           f"{size/1e6:.1f} MB, {export_s:.1f}s", flush=True)
 
     t1 = time.perf_counter()
-    loaded = load_serving_set(args.out)
+    loaded = load_serving_set(args.out, engine=eng)
     load_s = time.perf_counter() - t1
 
     # live (tracing) ground truth

@@ -71,7 +71,7 @@ def main():
     if args.artifact:
         from dfol_vqa_tpu.export import load_serving_set
 
-        eng._exported.update(load_serving_set(args.artifact))
+        eng._exported.update(load_serving_set(args.artifact, engine=eng))
         print(f"[http_serve] preloaded {len(eng._exported)} AOT modules", flush=True)
     if args.warmup:
         qs, _ = serving_bench.request_pool(

@@ -93,6 +93,36 @@ def test_exported_set_serves_without_tracing(ontology, world, tmp_path, monkeypa
     assert eng2.stats["aot_steps"] > 0
 
 
+def test_artifact_engine_mismatch_rejected(ontology, world, tmp_path):
+    """Loading with an incompatible engine must fail loudly, not silently
+    fall back to tracing (object_num/dtype/ladders never match the keys)."""
+    cfg = small_cfg()
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    qs = world.generate_family("exist", 2, length=0, seed=5)
+    eng = ServingEngine(cfg, ontology, params, features=world,
+                        max_batch=2, batch_ladder=(1, 2), start=False)
+    export_serving_set(eng, qs, str(tmp_path / "art"))
+
+    # compatible engine loads fine
+    assert load_serving_set(str(tmp_path / "art"), engine=eng)
+
+    cfg2 = small_cfg()
+    cfg2.tpu.max_object_num = O + 4  # engine would never hit the keys
+    interp2 = Interpreter(cfg2, ontology)
+    params2 = interp2.init_params(jax.random.PRNGKey(0))
+    eng2 = ServingEngine(cfg2, ontology, params2, features=world,
+                         max_batch=2, batch_ladder=(1, 2), start=False)
+    with pytest.raises(ValueError, match="object_num"):
+        load_serving_set(str(tmp_path / "art"), engine=eng2)
+
+    # a policy that can reach rungs the artifact lacks is also an error
+    eng3 = ServingEngine(cfg, ontology, params, features=world,
+                         max_batch=4, batch_ladder=(1, 2, 4), start=False)
+    with pytest.raises(ValueError, match="batch rungs"):
+        load_serving_set(str(tmp_path / "art"), engine=eng3)
+
+
 def test_artifact_format_guard(tmp_path):
     import json
     import os

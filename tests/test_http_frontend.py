@@ -115,6 +115,9 @@ def test_bulk_endpoint_and_inline_features(ontology, world, served):
         ("/v1/answer", {"question": {"program": {"branches": [], "last_op":
             {"operator": "scene", "arguments": []}}, "imageId": "x"}}, 400),
         ("/v1/nope", {}, 404),
+        ("/v1/answers", {"questions": [{"program": {"branches": [],
+            "last_op": {"operator": "exist", "arguments": []}}, "imageId": "x"}],
+            "objects": [], "obj_mask": []}, 400),  # length mismatch
     ],
 )
 def test_error_paths(served, path, payload, code):

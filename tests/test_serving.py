@@ -270,6 +270,17 @@ def test_engine_on_mesh_matches_single_device(ontology, world):
     assert got == want
 
 
+def test_max_batch_beyond_ladder_rejected(ontology, world):
+    """max_batch past the top rung would mint an executable per group size
+    (beyond the ladder _pad_ladder returns the raw size) — refuse it."""
+    cfg = small_cfg()
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="batch-ladder"):
+        ServingEngine(cfg, ontology, params, features=world,
+                      max_batch=16, batch_ladder=(1, 2, 4, 8), start=False)
+
+
 def test_supervision_terminals_rejected(ontology, world):
     cfg = small_cfg()
     interp = Interpreter(cfg, ontology)

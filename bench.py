@@ -542,6 +542,95 @@ def measure_eval_epoch(eval_chunk: int, n_batches: int = 30,
     return n_batches * BATCH / dt
 
 
+def measure_serving(rate_qps: float = 200.0, duration_s: float = 4.0,
+                    closed_n: int = 600, tiny: bool = False) -> dict:
+    """Online serving engine (serve.py) on this backend: warmup cost,
+    closed-loop sustained qps, and open-loop latency percentiles at a
+    modest Poisson load. Compact request pool (2 families x 2 lengths) so
+    the warmed executable set stays small; per-request latency counts host
+    readback of the answer flags (the one honest barrier here).
+    ``tiny`` shrinks model dims for a CPU plumbing smoke."""
+    import jax
+
+    from dfol_vqa_tpu.config import Config
+    from dfol_vqa_tpu.data.planted import PlantedWorld
+    from dfol_vqa_tpu.models.interpreter import Interpreter
+    from dfol_vqa_tpu.ontology import GQAOntology
+    from dfol_vqa_tpu.serve import ServingEngine
+
+    if tiny:
+        cfg = Config(box_features_dim=32, oracle_input_dim=24,
+                     word_embedding_dim=16,
+                     attribute_network_layers_config=[16],
+                     relation_network_layers_config=[16],
+                     featurizer_layers_config=[], dropout=0.0, verbose=False)
+    else:
+        cfg = Config()
+    cfg.tpu.max_object_num = O_PAD
+    ont = GQAOntology()
+    interp = Interpreter(cfg, ont)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    world = PlantedWorld(ont, box_dim=cfg.box_features_dim, n_nouns=6,
+                         n_attrs=4, n_images=48, min_objects=MIN_OBJ,
+                         max_objects=MAX_OBJ, noise=0.1, seed=0)
+    eng = ServingEngine(cfg, ont, params, features=world, max_batch=32,
+                        max_delay_ms=10.0, transfer_dtype="bfloat16")
+    try:
+        qs = []
+        for fam in ("exist", "query_attr"):
+            for ln in (0, 2):
+                qs.extend(world.generate_family(
+                    fam, 4, length=ln, seed=11, id_prefix=f"b{fam}{ln}"))
+        feats = {q["imageId"]: world.batch([q["imageId"]], O_PAD) for q in qs}
+
+        t0 = time.perf_counter()
+        winfo = eng.warmup(qs)
+        warm_s = time.perf_counter() - t0
+
+        # closed loop: submit as fast as the host can, wait for everything
+        t0 = time.perf_counter()
+        futs = []
+        for i in range(closed_n):
+            q = qs[i % len(qs)]
+            objs, mask = feats[q["imageId"]]
+            futs.append(eng.submit(q, objs[0], mask[0]))
+        eng.flush()
+        for f in futs:
+            f.result()
+        closed_qps = closed_n / (time.perf_counter() - t0)
+
+        # open loop: Poisson arrivals at rate_qps
+        rng = np.random.default_rng(7)
+        t, sched = 0.0, []
+        while t < duration_s:
+            t += rng.exponential(1.0 / rate_qps)
+            sched.append(t)
+        futs = []
+        t0 = time.perf_counter()
+        for i, at in enumerate(sched):
+            lag = at - (time.perf_counter() - t0)
+            if lag > 0:
+                time.sleep(lag)
+            q = qs[i % len(qs)]
+            objs, mask = feats[q["imageId"]]
+            futs.append(eng.submit(q, objs[0], mask[0]))
+        eng.flush()
+        lats = [f.result().latency_ms for f in futs]
+        compiles_after_warm = eng.stats["compiled_steps"] - winfo["compiled"]
+        return {
+            "warmup_s": round(warm_s, 1),
+            "warmed_executables": winfo["compiled"],
+            "serve_time_compiles": compiles_after_warm,
+            "closed_loop_qps": round(closed_qps, 1),
+            "open_loop_offered_qps": rate_qps,
+            "open_loop_n": len(lats),
+            "open_loop_p50_ms": round(float(np.percentile(lats, 50)), 2),
+            "open_loop_p99_ms": round(float(np.percentile(lats, 99)), 2),
+        }
+    finally:
+        eng.stop()
+
+
 def _rebuild_loader_batches(hops: int, seed: int, n_batches: int):
     from dfol_vqa_tpu.compiler.program_compiler import ProgramCompiler
     from dfol_vqa_tpu.config import Config
@@ -662,6 +751,13 @@ def main():
         eval_epoch_qps_chunk8 = measure_eval_epoch(eval_chunk=8)
     except Exception:
         eval_epoch_qps_chunk1 = eval_epoch_qps_chunk8 = None
+    # online serving engine (r3): compact on-chip sample so the driver's
+    # bench run produces serving numbers even without a manual
+    # serving_bench.py --tpu session (full artifact: SERVING_r03.json)
+    try:
+        serving = measure_serving()
+    except Exception as e:
+        serving = {"error": str(e)[:200]}
     # train-side roofline rows (VERDICT r2 item 3 asked for eval AND train):
     # same differencing methodology, flop/bytes from the chunk=1 executable
     peak_ = _peak_flops(device_kind)
@@ -766,6 +862,7 @@ def main():
             "exist_3hop_O100_device_qps": round(BATCH / dev_sec_o100, 2),
             "exist_3hop_O100_device_bf16_qps": round(BATCH / dev_sec_o100_bf16, 2),
             "pallas_vs_xla": pallas_vs_xla,
+            "serving": serving,
             "baseline_source": "BASELINE_MEASURED.json (reference PyTorch CPU)",
             "methodology_note": (
                 "All barriers are host readbacks (under the axon remote "

@@ -120,11 +120,13 @@ class ServingHTTPFrontend:
 
     def stats(self) -> dict:
         s = self.engine.stats
-        # snapshot under the engine lock: _pending and the latency deque are
-        # mutated concurrently by submitters and the dispatcher
-        with self.engine._cond:
+        # snapshot under the engine's locks: counters/latencies are written
+        # by the completion pool (_stats_lock), _pending by submitters and
+        # the dispatcher (_cond)
+        with self.engine._stats_lock:
             out = {k: v for k, v in s.items() if k != "latencies_ms"}
             lats = list(s["latencies_ms"])
+        with self.engine._cond:
             pending = sum(len(q) for q in self.engine._pending.values())
         out["latency"] = _latency_summary(lats)
         out["pending"] = pending

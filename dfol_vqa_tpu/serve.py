@@ -42,6 +42,13 @@ Latency is measured honestly for this environment: a request completes only
 when its answer flags have been read back to the host (under the axon
 remote-TPU frontend ``block_until_ready`` resolves on enqueue, so device
 readback is the only trustworthy barrier — see bench.py methodology note).
+
+Dispatch/readback overlap: the dispatcher thread only ENQUEUES work (jax
+dispatch is asynchronous) and hands the blocking readback + future
+resolution to a small completion pool, so consecutive groups pipeline
+through the device instead of each paying a full host<->device round-trip
+of dead time — on a tunneled frontend the difference between RTT-bound
+and device-bound throughput.
 """
 
 from __future__ import annotations
@@ -315,6 +322,15 @@ class ServingEngine:
             # rolling window; long-running engines must not grow unboundedly
             "latencies_ms": deque(maxlen=100_000),
         }
+        # readbacks/future-resolution run here so the dispatcher thread can
+        # enqueue the next group while earlier flags are still in flight
+        # (dispatch/readback overlap; see _complete)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._stats_lock = threading.Lock()
+        self._completion = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="dfol-serve-readback"
+        )
         self._thread: Optional[threading.Thread] = None
         if start:
             self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
@@ -425,6 +441,7 @@ class ServingEngine:
             self._cond.notify()
         if self._thread is not None:
             self._thread.join()
+        self._completion.shutdown(wait=True)  # drain in-flight readbacks
 
     # ----------------------------------------------------------- dispatcher
 
@@ -511,35 +528,63 @@ class ServingEngine:
         obj_mask = np.stack([r.obj_mask for r in group] + [group[0].obj_mask] * pad)
         return LoadedBatch(spec, cb, objects, obj_mask), pad
 
-    def _execute(self, key: BucketSpec, group: List[_Request], pad_to=None):
-        """Assemble + run one group. Returns (spec, cb, flags, pad)."""
+    def _dispatch(self, key: BucketSpec, group: List[_Request], pad_to=None):
+        """Assemble + enqueue one group; flags stay ON DEVICE.
+
+        Returns (spec, cb, device_flags, pad). jax dispatch is asynchronous
+        (and the axon frontend acks on enqueue), so this returns as soon as
+        the work is queued — completion is the caller's readback."""
         lb, pad = self._assemble(key, group, pad_to)
         step = self._eval_step(lb.spec, lb.meta)
         _, objs_d, mask_d, packed_d = to_device_batch(
             lb, self.transfer_dtype, sharding=self._sharding
         )
-        # host readback IS the completion barrier (axon enqueue semantics)
-        flags = np.asarray(step(self.params, objs_d, mask_d, packed_d))
-        return lb.spec, lb.compiled, flags, pad
+        flags_d = step(self.params, objs_d, mask_d, packed_d)
+        return lb.spec, lb.compiled, flags_d, pad
 
-    def _process(self, key: BucketSpec, group: List[_Request]):
+    def _execute(self, key: BucketSpec, group: List[_Request], pad_to=None):
+        """Synchronous dispatch + readback (warmup/export path)."""
+        spec, cb, flags_d, pad = self._dispatch(key, group, pad_to)
+        # host readback IS the completion barrier (axon enqueue semantics)
+        return spec, cb, np.asarray(flags_d), pad
+
+    def _complete(self, group, spec, cb, flags_d, pad):
+        """Readback + future resolution for one in-flight group.
+
+        Runs on the completion pool so the dispatcher can enqueue the next
+        group immediately — otherwise every group pays a full host<->device
+        round-trip of dead time between dispatches and throughput under
+        load is RTT-bound instead of device-bound."""
         try:
-            spec, cb, flags, pad = self._execute(key, group)
+            flags = np.asarray(flags_d)  # the honest completion barrier
             t_done = time.perf_counter()
             # the decode shared with the offline trainer (padding rows are
             # decoded too and dropped by the group slice)
             decoded = decode_answer_flags(flags, spec, cb)
-            self.stats["batches"] += 1
-            self.stats["padded_rows"] += pad
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["padded_rows"] += pad
+                for r in group:
+                    self.stats["latencies_ms"].append(
+                        (t_done - r.t0) * 1e3
+                    )
             for i, r in enumerate(group):
-                lat = (t_done - r.t0) * 1e3
-                self.stats["latencies_ms"].append(lat)
                 r.future.set_result(
                     ServeResult(
-                        answers=decoded[i], latency_ms=lat,
+                        answers=decoded[i],
+                        latency_ms=(t_done - r.t0) * 1e3,
                         batch_size=spec.batch_size, spec=spec,
                     )
                 )
+        except BaseException as e:
+            for r in group:
+                if not r.future.done():
+                    r.future.set_exception(e)
+
+    def _process(self, key: BucketSpec, group: List[_Request]):
+        try:
+            spec, cb, flags_d, pad = self._dispatch(key, group)
+            self._completion.submit(self._complete, group, spec, cb, flags_d, pad)
         except BaseException as e:  # surface errors to every waiter
             for r in group:
                 if not r.future.done():

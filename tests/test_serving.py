@@ -270,6 +270,29 @@ def test_engine_on_mesh_matches_single_device(ontology, world):
     assert got == want
 
 
+def test_burst_pipelines_through_completion_pool(ontology, world):
+    """A burst of many same-spec groups exercises the dispatch/readback
+    overlap (dispatcher enqueues while the completion pool reads back);
+    every request must still resolve with the right answer and consistent
+    accounting."""
+    cfg = small_cfg()
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    qs = world.generate_family("exist", 48, length=1, seed=17)
+    want = direct_answers(cfg, ontology, world, params, qs)
+
+    eng = ServingEngine(cfg, ontology, params, features=world,
+                        max_batch=4, max_delay_ms=5.0)
+    try:
+        results = eng.answer_many(qs)
+        got = [r.answers for r in results]
+        assert got == want
+        assert eng.stats["batches"] >= len(qs) // 4
+        assert len(eng.stats["latencies_ms"]) == len(qs)
+    finally:
+        eng.stop()
+
+
 def test_max_batch_beyond_ladder_rejected(ontology, world):
     """max_batch past the top rung would mint an executable per group size
     (beyond the ladder _pad_ladder returns the raw size) — refuse it."""

@@ -183,3 +183,108 @@ def _per_question(req: dict):
         if objs is not None:
             extra = {"objects": objs[i], "obj_mask": masks[i]}
         yield q, extra
+
+
+# -------------------------------------------------------------- daemon CLI
+
+
+def main(argv=None):
+    """``dfol-vqa-serve``: start the HTTP daemon.
+
+    Demo feature source is the planted world (exact ground truth, all 13
+    families); real weights load from a trainer checkpoint and the AOT
+    artifact (export.py) preloads the executable set so the daemon never
+    traces."""
+    import argparse
+    import os
+    import time
+
+    ap = argparse.ArgumentParser(prog="dfol-vqa-serve")
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--tiny", action="store_true", help="small demo dims")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8787)
+    ap.add_argument("--objects", type=int, default=24)
+    ap.add_argument("--max-batch", type=int, default=32)
+    ap.add_argument("--max-delay-ms", type=float, default=10.0)
+    ap.add_argument("--ckpt", default=None, help="checkpoint dir (export_path_base)")
+    ap.add_argument("--ckpt-name", default="best")
+    ap.add_argument("--artifact", default=None, help="AOT serving set dir (export.py)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile the executable set from a planted sample")
+    args = ap.parse_args(argv)
+    if not args.tpu:
+        # all three are needed — the axon TPU plugin ignores JAX_PLATFORMS
+        # alone and would then hang on an unreachable tunnel
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+
+    import jax
+
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+    backend = jax.default_backend()
+    if args.tpu and backend != "tpu":
+        raise SystemExit(f"--tpu requested but backend is {backend}")
+
+    from dfol_vqa_tpu.config import Config
+    from dfol_vqa_tpu.data.planted import PlantedWorld
+    from dfol_vqa_tpu.models.interpreter import Interpreter
+    from dfol_vqa_tpu.ontology import GQAOntology
+    from dfol_vqa_tpu.serve import ServingEngine
+    from dfol_vqa_tpu.train import checkpoint
+
+    if args.tiny:
+        cfg = Config(box_features_dim=32, oracle_input_dim=24,
+                     word_embedding_dim=16,
+                     attribute_network_layers_config=[16],
+                     relation_network_layers_config=[16],
+                     featurizer_layers_config=[], dropout=0.0, verbose=False)
+        cfg.tpu.max_object_num = 8
+    else:
+        cfg = Config()
+        cfg.tpu.max_object_num = args.objects
+    ont = GQAOntology()
+    interp = Interpreter(cfg, ont)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    world = PlantedWorld(
+        ont, box_dim=cfg.box_features_dim, n_nouns=6, n_attrs=4, n_images=48,
+        min_objects=4, max_objects=cfg.tpu.max_object_num, noise=0.1, seed=0)
+    eng = ServingEngine(
+        cfg, ont, params, features=world,
+        max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
+        transfer_dtype=None if args.tiny else "bfloat16")
+    if args.ckpt:
+        loaded, step = checkpoint.load(args.ckpt, args.ckpt_name, eng.params)
+        eng.params = jax.device_put(loaded)
+        print(f"[dfol-vqa-serve] loaded {args.ckpt_name} @ step {step}", flush=True)
+    if args.artifact:
+        from dfol_vqa_tpu.export import load_serving_set
+
+        eng._exported.update(load_serving_set(args.artifact, engine=eng))
+        print(f"[dfol-vqa-serve] preloaded {len(eng._exported)} AOT modules",
+              flush=True)
+    if args.warmup:
+        qs = []
+        for fi, fam in enumerate((
+            "exist", "verify_attrs", "query_attr", "choose_attr", "choose_rel",
+            "verify_rel", "and", "or", "two_different", "two_same", "compare",
+            "all_same", "all_different",
+        )):
+            for li, ln in enumerate((0, 1, 2)):
+                qs.extend(world.generate_family(
+                    fam, 1, length=ln, seed=3 + 10 * fi + li,
+                    id_prefix=f"w{fam}{ln}-"))
+        print(f"[dfol-vqa-serve] warmup {eng.warmup(qs)}", flush=True)
+
+    front = ServingHTTPFrontend(eng, host=args.host, port=args.port)
+    print(f"[dfol-vqa-serve] backend={backend} listening on "
+          f"http://{front.host}:{front.port}", flush=True)
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        front.close()
+        eng.stop()

@@ -16,6 +16,8 @@ Endpoints (JSON in/out):
   POST /v1/answer    -> {"question": {...}, "objects"?: [[..]], "obj_mask"?: [..]}
                         -> {"answers": [...], "latency_ms", "batch_size"}
   POST /v1/answers   -> {"questions": [{...}, ...]} -> {"results": [...]}
+  POST /v1/trace     -> {"question": {...}} -> hop-by-hop attention trace
+                        (per-slot object attentions + decoded answer)
 
 ``objects``/``obj_mask`` are optional when the engine owns a FeatureSource
 (then ``question["imageId"]`` is looked up). Questions use the reference's
@@ -96,6 +98,8 @@ class ServingHTTPFrontend:
                         self._reply(200, frontend.answer(req))
                     elif self.path == "/v1/answers":
                         self._reply(200, frontend.answers(req))
+                    elif self.path == "/v1/trace":
+                        self._reply(200, frontend.trace(req))
                     else:
                         self._reply(404, {"error": f"no such path: {self.path}"})
                 except (KeyError, ValueError, TypeError, IndexError) as e:
@@ -160,6 +164,17 @@ class ServingHTTPFrontend:
             for q, extra in _per_question(req)
         ]
         return {"results": [self._result_json(f.result()) for f in futs]}
+
+    def trace(self, req: dict) -> dict:
+        q = req["question"]
+        objs = req.get("objects")
+        mask = req.get("obj_mask")
+        if objs is not None:
+            if mask is None:
+                raise ValueError("objects given without obj_mask")
+            objs = np.asarray(objs, dtype=np.float32)
+            mask = np.asarray(mask, dtype=np.float32)
+        return self.engine.trace(q, objs, mask)
 
     def close(self):
         self._server.shutdown()

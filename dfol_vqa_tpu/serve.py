@@ -512,6 +512,66 @@ class ServingEngine:
             self._step_cache[key] = fn
         return fn
 
+    def _trace_step(self, spec: BucketSpec, meta):
+        """Jitted eval step that also returns the hop-by-hop attention trace
+        (diagnostics; cached separately from the serving steps)."""
+        key = (spec, meta, "trace")
+        fn = self._step_cache.get(key)
+        if fn is None:
+            interp = self.interp
+
+            @jax.jit
+            def fn(params, objects, obj_mask, packed):
+                arrays = unpack_arrays(packed, meta)
+                out = interp.forward(
+                    params, objects, obj_mask, arrays, spec, False, None,
+                    return_trace=True,
+                )
+                return {"log_probability": out["log_probability"],
+                        "answer_flags": out["answer_flags"],
+                        "trace": out["trace"]}
+
+            with self._stats_lock:
+                self.stats["trace_steps"] = self.stats.get("trace_steps", 0) + 1
+            self._step_cache[key] = fn
+        return fn
+
+    def trace(self, question: dict, objects=None, obj_mask=None) -> dict:
+        """Hop-by-hop reasoning trace for ONE question (synchronous).
+
+        The online face of the reference's visualization epoch (reference
+        trainer.py:516-596): per-slot object attentions plus the decoded
+        answer, as the JSON schema viz.trace_to_dict defines. Runs on the
+        caller's thread at batch rung 1 — a diagnostics surface, not the
+        batched serving path (its executables are cached separately)."""
+        from dfol_vqa_tpu.viz import trace_to_dict
+
+        t = question["program"]["last_op"]["operator"]
+        if t in SUPERVISION_OPS:
+            raise ValueError(
+                f"{t} is a training-supervision terminal, not a servable question"
+            )
+        if objects is None:
+            objs, mask = self.features.batch(
+                [question["imageId"]], self.cfg.tpu.max_object_num
+            )
+            objects, obj_mask = objs[0], mask[0]
+        key, cb = self._prepare(question)
+        r = _Request(question, np.asarray(objects), np.asarray(obj_mask), cb)
+        lb, _ = self._assemble(key, [r], pad_to=1)
+        step = self._trace_step(lb.spec, lb.meta)
+        _, objs_d, mask_d, packed_d = to_device_batch(
+            lb, self.transfer_dtype, sharding=self._sharding
+        )
+        out = jax.tree.map(
+            np.asarray, step(self.params, objs_d, mask_d, packed_d)
+        )  # host readback = completion
+        entry = trace_to_dict(lb, out, out["trace"])[0]
+        entry["answers"] = decode_answer_flags(
+            out["answer_flags"], lb.spec, lb.compiled
+        )[0]
+        return entry
+
     def _assemble(self, key: BucketSpec, group: List[_Request], pad_to=None):
         """Concat same-spec request rows + pad to the batch ladder.
 

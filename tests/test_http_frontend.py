@@ -108,6 +108,15 @@ def test_bulk_endpoint_and_inline_features(ontology, world, served):
     assert [r["answers"] for r in out2["results"]] == want
 
 
+def test_trace_endpoint(ontology, world, served):
+    cfg, params, front = served
+    q = world.generate_family("verify_rel", 1, length=1, seed=6)[0]
+    want = direct_answers(cfg, ontology, world, params, [q])[0]
+    out = _post(front, "/v1/trace", {"question": q})
+    assert out["answers"] == want
+    assert out["hops"] and all("attention" in h for h in out["hops"])
+
+
 @pytest.mark.parametrize(
     "path,payload,code",
     [

@@ -270,6 +270,30 @@ def test_engine_on_mesh_matches_single_device(ontology, world):
     assert got == want
 
 
+def test_trace_diagnostic(ontology, world):
+    """engine.trace returns the hop-by-hop attention schema and the same
+    answer as the batched serving path."""
+    cfg = small_cfg()
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    qs = world.generate_family("exist", 2, length=2, seed=23)
+
+    eng = ServingEngine(cfg, ontology, params, features=world,
+                        max_batch=4, max_delay_ms=5.0)
+    try:
+        served = [r.answers for r in eng.answer_many(qs)]
+        for q, want in zip(qs, served):
+            entry = eng.trace(q)
+            assert entry["answers"] == want
+            assert entry["question_id"] == q["question_id"]
+            ops = [h["op"] for h in entry["hops"]]
+            assert ops[0] == "select" and "filter" in ops
+            assert all(len(h["attention"]) == O for h in entry["hops"])
+        assert eng.stats["trace_steps"] >= 1
+    finally:
+        eng.stop()
+
+
 def test_burst_pipelines_through_completion_pool(ontology, world):
     """A burst of many same-spec groups exercises the dispatch/readback
     overlap (dispatcher enqueues while the completion pool reads back);

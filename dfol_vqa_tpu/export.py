@@ -85,6 +85,7 @@ def export_serving_set(
     out_dir: str,
     batch_sizes: Optional[Sequence[int]] = None,
     platforms: Optional[Sequence[str]] = None,
+    include_traces: bool = False,
 ) -> dict:
     """Export every canonical spec in ``questions`` x batch rungs to
     ``out_dir``. Returns the manifest dict.
@@ -112,25 +113,34 @@ def export_serving_set(
     os.makedirs(out_dir, exist_ok=True)
     params_sds = jax.tree.map(_sds, engine.params)
     entries = []
+
+    def emit(lb, make_fn, B, kind):
+        _, objs_d, mask_d, packed_d = to_device_batch(lb, engine.transfer_dtype)
+        fn = jax.jit(make_fn(lb.spec, lb.meta))
+        exp = jax_export.export(fn, platforms=platforms)(
+            params_sds, _sds(objs_d), _sds(mask_d), _sds(packed_d)
+        )
+        fname = f"{len(entries):04d}.bin"
+        with open(os.path.join(out_dir, fname), "wb") as f:
+            f.write(exp.serialize())
+        entries.append(
+            {
+                "spec": spec_to_json(lb.spec),
+                "meta": meta_to_json(lb.meta),
+                "batch": B,
+                "kind": kind,
+                "file": fname,
+            }
+        )
+
     for key, r in sorted(reps.items(), key=lambda kv: repr(kv[0])):
         for B in batch_sizes:
             lb, _ = engine._assemble(key, [r], pad_to=B)
-            _, objs_d, mask_d, packed_d = to_device_batch(lb, engine.transfer_dtype)
-            fn = jax.jit(engine._make_step(lb.spec, lb.meta))
-            exp = jax_export.export(fn, platforms=platforms)(
-                params_sds, _sds(objs_d), _sds(mask_d), _sds(packed_d)
-            )
-            fname = f"{len(entries):04d}.bin"
-            with open(os.path.join(out_dir, fname), "wb") as f:
-                f.write(exp.serialize())
-            entries.append(
-                {
-                    "spec": spec_to_json(lb.spec),
-                    "meta": meta_to_json(lb.meta),
-                    "batch": B,
-                    "file": fname,
-                }
-            )
+            emit(lb, engine._make_step, B, "eval")
+        if include_traces:
+            # the /v1/trace diagnostics step always runs at batch rung 1
+            lb, _ = engine._assemble(key, [r], pad_to=1)
+            emit(lb, engine._make_trace_step, 1, "trace")
     manifest = {
         "format": "dfol_vqa_tpu.serving_set.v1",
         "platforms": list(platforms) if platforms else [jax.default_backend()],
@@ -193,6 +203,9 @@ def load_serving_set(in_dir: str, engine=None) -> Dict[tuple, object]:
     for e in manifest["executables"]:
         spec = spec_from_json(e["spec"])
         meta = meta_from_json(e["meta"])
+        key = (spec, meta)
+        if e.get("kind", "eval") == "trace":
+            key = (spec, meta, "trace")  # the engine's trace-step cache key
         with open(os.path.join(in_dir, e["file"]), "rb") as f:
-            out[(spec, meta)] = jax_export.deserialize(f.read())
+            out[key] = jax_export.deserialize(f.read())
     return out

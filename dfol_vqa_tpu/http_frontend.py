@@ -136,16 +136,21 @@ class ServingHTTPFrontend:
         out["pending"] = pending
         return out
 
-    def _submit(self, req: dict):
-        q = req["question"]
+    @staticmethod
+    def _parse_features(req: dict):
+        """Shared inline-feature parsing/validation for answer + trace."""
         objs = req.get("objects")
         mask = req.get("obj_mask")
         if objs is not None:
-            objs = np.asarray(objs, dtype=np.float32)
             if mask is None:
                 raise ValueError("objects given without obj_mask")
+            objs = np.asarray(objs, dtype=np.float32)
             mask = np.asarray(mask, dtype=np.float32)
-        return self.engine.submit(q, objs, mask)
+        return objs, mask
+
+    def _submit(self, req: dict):
+        objs, mask = self._parse_features(req)
+        return self.engine.submit(req["question"], objs, mask)
 
     @staticmethod
     def _result_json(r) -> dict:
@@ -166,15 +171,8 @@ class ServingHTTPFrontend:
         return {"results": [self._result_json(f.result()) for f in futs]}
 
     def trace(self, req: dict) -> dict:
-        q = req["question"]
-        objs = req.get("objects")
-        mask = req.get("obj_mask")
-        if objs is not None:
-            if mask is None:
-                raise ValueError("objects given without obj_mask")
-            objs = np.asarray(objs, dtype=np.float32)
-            mask = np.asarray(mask, dtype=np.float32)
-        return self.engine.trace(q, objs, mask)
+        objs, mask = self._parse_features(req)
+        return self.engine.trace(req["question"], objs, mask)
 
     def close(self):
         self._server.shutdown()
@@ -242,33 +240,13 @@ def main(argv=None):
     if args.tpu and backend != "tpu":
         raise SystemExit(f"--tpu requested but backend is {backend}")
 
-    from dfol_vqa_tpu.config import Config
-    from dfol_vqa_tpu.data.planted import PlantedWorld
-    from dfol_vqa_tpu.models.interpreter import Interpreter
-    from dfol_vqa_tpu.ontology import GQAOntology
-    from dfol_vqa_tpu.serve import ServingEngine
+    from dfol_vqa_tpu.data.planted import ALL_FAMILIES
+    from dfol_vqa_tpu.serve import build_demo_engine
     from dfol_vqa_tpu.train import checkpoint
 
-    if args.tiny:
-        cfg = Config(box_features_dim=32, oracle_input_dim=24,
-                     word_embedding_dim=16,
-                     attribute_network_layers_config=[16],
-                     relation_network_layers_config=[16],
-                     featurizer_layers_config=[], dropout=0.0, verbose=False)
-        cfg.tpu.max_object_num = 8
-    else:
-        cfg = Config()
-        cfg.tpu.max_object_num = args.objects
-    ont = GQAOntology()
-    interp = Interpreter(cfg, ont)
-    params = interp.init_params(jax.random.PRNGKey(0))
-    world = PlantedWorld(
-        ont, box_dim=cfg.box_features_dim, n_nouns=6, n_attrs=4, n_images=48,
-        min_objects=4, max_objects=cfg.tpu.max_object_num, noise=0.1, seed=0)
-    eng = ServingEngine(
-        cfg, ont, params, features=world,
-        max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
-        transfer_dtype=None if args.tiny else "bfloat16")
+    cfg, ont, world, eng = build_demo_engine(
+        tiny=args.tiny, objects=args.objects,
+        max_batch=args.max_batch, max_delay_ms=args.max_delay_ms)
     if args.ckpt:
         loaded, step = checkpoint.load(args.ckpt, args.ckpt_name, eng.params)
         eng.params = jax.device_put(loaded)
@@ -281,16 +259,13 @@ def main(argv=None):
               flush=True)
     if args.warmup:
         qs = []
-        for fi, fam in enumerate((
-            "exist", "verify_attrs", "query_attr", "choose_attr", "choose_rel",
-            "verify_rel", "and", "or", "two_different", "two_same", "compare",
-            "all_same", "all_different",
-        )):
+        for fi, fam in enumerate(ALL_FAMILIES):
             for li, ln in enumerate((0, 1, 2)):
                 qs.extend(world.generate_family(
                     fam, 1, length=ln, seed=3 + 10 * fi + li,
                     id_prefix=f"w{fam}{ln}-"))
-        print(f"[dfol-vqa-serve] warmup {eng.warmup(qs)}", flush=True)
+        print(f"[dfol-vqa-serve] warmup {eng.warmup(qs, traces=True)}",
+              flush=True)
 
     front = ServingHTTPFrontend(eng, host=args.host, port=args.port)
     print(f"[dfol-vqa-serve] backend={backend} listening on "

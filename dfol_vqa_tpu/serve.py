@@ -259,6 +259,7 @@ class ServingEngine:
         transfer_dtype: Optional[str] = None,
         mesh=None,
         executables: Optional[Dict[tuple, object]] = None,
+        max_inflight: int = 8,
         start: bool = True,
     ):
         self.cfg = cfg
@@ -328,9 +329,13 @@ class ServingEngine:
         from concurrent.futures import ThreadPoolExecutor
 
         self._stats_lock = threading.Lock()
+        self._compile_lock = threading.Lock()  # _step_cache get-or-build
         self._completion = ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="dfol-serve-readback"
         )
+        # backpressure: dispatch may run at most this many groups ahead of
+        # readback, bounding in-flight device buffers and queued completions
+        self._inflight = threading.BoundedSemaphore(int(max_inflight))
         self._thread: Optional[threading.Thread] = None
         if start:
             self._thread = threading.Thread(target=self._dispatch_loop, daemon=True)
@@ -375,11 +380,13 @@ class ServingEngine:
             if self._stop:
                 raise RuntimeError("engine stopped")
             self._pending.setdefault(key, []).append(r)
-            self.stats["requests"] += 1
             self._cond.notify()
+        with self._stats_lock:
+            self.stats["requests"] += 1
         return r.future
 
-    def warmup(self, questions: Sequence[dict], batch_sizes=None) -> dict:
+    def warmup(self, questions: Sequence[dict], batch_sizes=None,
+               traces: bool = False) -> dict:
         """Precompile the executable set for a representative sample.
 
         For every distinct canonical spec in ``questions``, compile + run the
@@ -406,6 +413,8 @@ class ServingEngine:
         for key, r in reps.items():
             for B in batch_sizes:
                 self._execute(key, [r], pad_to=B)
+            if traces:  # also pre-compile the /v1/trace diagnostics step
+                self.trace(r.question, r.objects, r.obj_mask)
         return {
             "specs": len(reps),
             "batch_sizes": list(batch_sizes),
@@ -500,40 +509,58 @@ class ServingEngine:
 
     def _eval_step(self, spec: BucketSpec, meta):
         key = (spec, meta)
-        fn = self._step_cache.get(key)
-        if fn is None:
-            exp = self._exported.get(key)
-            if exp is not None:
-                fn = jax.jit(exp.call)  # deserialized StableHLO: no tracing
-                self.stats["aot_steps"] += 1
-            else:
-                fn = jax.jit(self._make_step(spec, meta))
-                self.stats["compiled_steps"] += 1
-            self._step_cache[key] = fn
+        # lock: concurrent callers (dispatcher, warmup, HTTP trace threads)
+        # must share ONE jitted fn per key or first calls compile twice
+        with self._compile_lock:
+            fn = self._step_cache.get(key)
+            if fn is None:
+                exp = self._exported.get(key)
+                if exp is not None:
+                    fn = jax.jit(exp.call)  # deserialized StableHLO: no tracing
+                    stat = "aot_steps"
+                else:
+                    fn = jax.jit(self._make_step(spec, meta))
+                    stat = "compiled_steps"
+                with self._stats_lock:
+                    self.stats[stat] += 1
+                self._step_cache[key] = fn
+        return fn
+
+    def _make_trace_step(self, spec: BucketSpec, meta):
+        """Raw (unjitted) eval+trace step — also the trace export surface."""
+        interp = self.interp
+
+        def fn(params, objects, obj_mask, packed):
+            arrays = unpack_arrays(packed, meta)
+            out = interp.forward(
+                params, objects, obj_mask, arrays, spec, False, None,
+                return_trace=True,
+            )
+            return {"log_probability": out["log_probability"],
+                    "answer_flags": out["answer_flags"],
+                    "trace": out["trace"]}
+
         return fn
 
     def _trace_step(self, spec: BucketSpec, meta):
         """Jitted eval step that also returns the hop-by-hop attention trace
-        (diagnostics; cached separately from the serving steps)."""
+        (diagnostics; cached separately from the serving steps). Consults
+        the AOT set first — artifacts exported with include_traces serve
+        traces without tracing the model either."""
         key = (spec, meta, "trace")
-        fn = self._step_cache.get(key)
-        if fn is None:
-            interp = self.interp
-
-            @jax.jit
-            def fn(params, objects, obj_mask, packed):
-                arrays = unpack_arrays(packed, meta)
-                out = interp.forward(
-                    params, objects, obj_mask, arrays, spec, False, None,
-                    return_trace=True,
-                )
-                return {"log_probability": out["log_probability"],
-                        "answer_flags": out["answer_flags"],
-                        "trace": out["trace"]}
-
-            with self._stats_lock:
-                self.stats["trace_steps"] = self.stats.get("trace_steps", 0) + 1
-            self._step_cache[key] = fn
+        with self._compile_lock:
+            fn = self._step_cache.get(key)
+            if fn is None:
+                exp = self._exported.get(key)
+                if exp is not None:
+                    fn = jax.jit(exp.call)
+                    stat = "aot_steps"
+                else:
+                    fn = jax.jit(self._make_trace_step(spec, meta))
+                    stat = "trace_steps"
+                with self._stats_lock:
+                    self.stats[stat] = self.stats.get(stat, 0) + 1
+                self._step_cache[key] = fn
         return fn
 
     def trace(self, question: dict, objects=None, obj_mask=None) -> dict:
@@ -616,6 +643,12 @@ class ServingEngine:
         round-trip of dead time between dispatches and throughput under
         load is RTT-bound instead of device-bound."""
         try:
+            self._complete_inner(group, spec, cb, flags_d, pad)
+        finally:
+            self._inflight.release()
+
+    def _complete_inner(self, group, spec, cb, flags_d, pad):
+        try:
             flags = np.asarray(flags_d)  # the honest completion barrier
             t_done = time.perf_counter()
             # the decode shared with the offline trainer (padding rows are
@@ -642,10 +675,64 @@ class ServingEngine:
                     r.future.set_exception(e)
 
     def _process(self, key: BucketSpec, group: List[_Request]):
+        # backpressure: block the dispatcher when max_inflight groups have
+        # been enqueued but not read back, so intake cannot outrun readback
+        self._inflight.acquire()
+        submitted = False
         try:
             spec, cb, flags_d, pad = self._dispatch(key, group)
             self._completion.submit(self._complete, group, spec, cb, flags_d, pad)
+            submitted = True
         except BaseException as e:  # surface errors to every waiter
             for r in group:
                 if not r.future.done():
                     r.future.set_exception(e)
+        finally:
+            if not submitted:
+                self._inflight.release()
+
+
+# --------------------------------------------------------------- demo build
+
+
+def build_demo_engine(tiny: bool = False, objects: int = 24,
+                      max_batch: int = 32, max_delay_ms: float = 10.0,
+                      executables=None, seed: int = 0):
+    """Demo/bench engine over the planted world.
+
+    THE single construction shared by the HTTP daemon CLI
+    (http_frontend.main), scripts/serving_bench.py and
+    scripts/export_serving.py, so the benched configuration and the served
+    daemon cannot silently diverge. Returns (cfg, ontology, world, engine).
+    ``tiny`` = small dims for CPU smokes; otherwise production dims
+    (2048-d boxes, 512-d oracle) with bf16 feature transfer."""
+    import jax
+
+    from dfol_vqa_tpu.data.planted import PlantedWorld
+
+    if tiny:
+        cfg = Config(
+            box_features_dim=32, oracle_input_dim=24, word_embedding_dim=16,
+            attribute_network_layers_config=[16],
+            relation_network_layers_config=[16],
+            featurizer_layers_config=[], dropout=0.0, verbose=False,
+        )
+        cfg.tpu.max_object_num = 8
+    else:
+        cfg = Config()
+        cfg.tpu.max_object_num = objects
+    ont = GQAOntology()
+    interp = Interpreter(cfg, ont)
+    params = interp.init_params(jax.random.PRNGKey(seed))
+    world = PlantedWorld(
+        ont, box_dim=cfg.box_features_dim, n_nouns=6, n_attrs=4,
+        n_images=48, min_objects=4, max_objects=cfg.tpu.max_object_num,
+        noise=0.1, seed=seed,
+    )
+    eng = ServingEngine(
+        cfg, ont, params, features=world,
+        max_batch=max_batch, max_delay_ms=max_delay_ms,
+        transfer_dtype=None if tiny else "bfloat16",
+        executables=executables,
+    )
+    return cfg, ont, world, eng

@@ -68,7 +68,7 @@ def main():
     from dfol_vqa_tpu.serve import ServingEngine
 
     t0 = time.perf_counter()
-    manifest = export_serving_set(eng, qs, args.out)
+    manifest = export_serving_set(eng, qs, args.out, include_traces=True)
     export_s = time.perf_counter() - t0
     size = sum(
         os.path.getsize(os.path.join(args.out, f)) for f in os.listdir(args.out)

@@ -33,47 +33,24 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-FAMILIES = [
-    "exist", "verify_attrs", "query_attr", "choose_attr", "choose_rel",
-    "verify_rel", "and", "or", "two_different", "two_same", "compare",
-    "all_same", "all_different",
-]
+from dfol_vqa_tpu.data.planted import ALL_FAMILIES  # noqa: E402
+
+# the 13 servable families, sourced from the planted world's single list
+# (a mutable module attribute so export_serving can trim the pool for CPU
+# smokes; importing jax does NOT initialize a backend, so this is safe
+# before main() forces the platform)
+FAMILIES = list(ALL_FAMILIES)
 
 
 def build(args):
-    from dfol_vqa_tpu.config import Config
-    from dfol_vqa_tpu.data.planted import PlantedWorld
-    from dfol_vqa_tpu.models.interpreter import Interpreter
-    from dfol_vqa_tpu.ontology import GQAOntology
-    from dfol_vqa_tpu.serve import ServingEngine
+    """Delegates to the shared demo construction (serve.build_demo_engine)
+    so the benched configuration IS the served daemon's."""
+    from dfol_vqa_tpu.serve import build_demo_engine
 
-    import jax
-
-    if args.tiny:
-        cfg = Config(
-            box_features_dim=32, oracle_input_dim=24, word_embedding_dim=16,
-            attribute_network_layers_config=[16],
-            relation_network_layers_config=[16],
-            featurizer_layers_config=[], dropout=0.0, verbose=False,
-        )
-        cfg.tpu.max_object_num = 8
-    else:
-        cfg = Config()  # production dims (2048-d boxes, 512-d oracle)
-        cfg.tpu.max_object_num = args.objects
-    ont = GQAOntology()
-    interp = Interpreter(cfg, ont)
-    params = interp.init_params(jax.random.PRNGKey(0))
-    world = PlantedWorld(
-        ont, box_dim=cfg.box_features_dim, n_nouns=6, n_attrs=4,
-        n_images=48, min_objects=4, max_objects=cfg.tpu.max_object_num,
-        noise=0.1, seed=0,
-    )
-    eng = ServingEngine(
-        cfg, ont, params, features=world,
+    return build_demo_engine(
+        tiny=args.tiny, objects=args.objects,
         max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
-        transfer_dtype=None if args.tiny else "bfloat16",
     )
-    return cfg, ont, world, eng
 
 
 def request_pool(world, object_num, n_per, lengths, seed=0):

@@ -60,9 +60,11 @@ def test_exported_set_serves_without_tracing(ontology, world, tmp_path, monkeypa
     eng = ServingEngine(cfg, ontology, params, features=world,
                         max_batch=4, max_delay_ms=5.0, batch_ladder=(1, 2, 4),
                         start=False)
-    manifest = export_serving_set(eng, qs, str(tmp_path / "art"))
+    manifest = export_serving_set(eng, qs, str(tmp_path / "art"),
+                                  include_traces=True)
     assert manifest["n_specs"] > 0
-    assert len(manifest["executables"]) == manifest["n_specs"] * 3
+    # 3 eval rungs + 1 trace module per spec
+    assert len(manifest["executables"]) == manifest["n_specs"] * 4
 
     # ground truth from a live (tracing) engine
     live = ServingEngine(cfg, ontology, params, features=world,
@@ -86,10 +88,14 @@ def test_exported_set_serves_without_tracing(ontology, world, tmp_path, monkeypa
     )
     try:
         got = [r.answers for r in eng2.answer_many(qs)]
+        # the trace diagnostics path also serves from the artifact
+        tr = eng2.trace(qs[0])
+        assert tr["answers"] == want[0] and tr["hops"]
     finally:
         eng2.stop()
     assert got == want
     assert eng2.stats["compiled_steps"] == 0
+    assert eng2.stats.get("trace_steps", 0) == 0
     assert eng2.stats["aot_steps"] > 0
 
 

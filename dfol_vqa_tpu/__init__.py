@@ -13,6 +13,8 @@ Public surface (lazily imported):
     ProgramCompiler          AOT program -> tensor compiler
     VQATrainer               train / test / predict loops
     GQAObjectBoxExperiment   end-to-end experiment runner
+    ServingEngine            online continuous-batching inference
+    ServingHTTPFrontend      HTTP daemon over the serving engine
 """
 
 __version__ = "0.1.0"
@@ -30,6 +32,10 @@ _EXPORTS = {
     "VariableSet": "dfol_vqa_tpu.types",
     "Quantifier": "dfol_vqa_tpu.types",
     "QuestionType": "dfol_vqa_tpu.types",
+    "ServingEngine": "dfol_vqa_tpu.serve",
+    "ServingHTTPFrontend": "dfol_vqa_tpu.http_frontend",
+    "export_serving_set": "dfol_vqa_tpu.export",
+    "load_serving_set": "dfol_vqa_tpu.export",
 }
 
 __all__ = list(_EXPORTS) + ["__version__"]

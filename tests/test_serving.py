@@ -179,11 +179,19 @@ def test_row_padding_exact(ontology, world):
 # ------------------------------------------------------------------- engine
 
 
-def test_engine_matches_direct_path(ontology, world):
-    """Engine answers == offline eval answers over all 13 families."""
-    cfg = small_cfg()
+@pytest.mark.parametrize("calibrated", [False, True])
+def test_engine_matches_direct_path(ontology, world, calibrated):
+    """Engine answers == offline eval answers over all 13 families,
+    with and without the attention-transfer calibrator (the production
+    curriculum's final checkpoints have it on)."""
+    cfg = small_cfg(activate_attention_transfer=calibrated)
     interp = Interpreter(cfg, ontology)
     params = interp.init_params(jax.random.PRNGKey(0))
+    if calibrated:  # randomize the zero-init head so modulation is live
+        k = jax.random.PRNGKey(42)
+        params["calibrator"]["out"]["w"] = (
+            0.5 * jax.random.normal(k, params["calibrator"]["out"]["w"].shape)
+        )
     qs = mixed_stream(world, n_per_family=2, lengths=(0, 2), seed=7)
 
     want = direct_answers(cfg, ontology, world, params, qs)

@@ -225,6 +225,10 @@ def main(argv=None):
     ap.add_argument("--artifact", default=None, help="AOT serving set dir (export.py)")
     ap.add_argument("--warmup", action="store_true",
                     help="precompile the executable set from a planted sample")
+    ap.add_argument("--jit-cache", default=None, metavar="DIR",
+                    help="persistent XLA compilation cache: daemon restarts "
+                         "(and mesh serving, which the AOT artifact does not "
+                         "cover) skip recompiles of previously seen specs")
     args = ap.parse_args(argv)
     if not args.tpu:
         # all three are needed — the axon TPU plugin ignores JAX_PLATFORMS
@@ -236,6 +240,9 @@ def main(argv=None):
 
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.jit_cache:
+        jax.config.update("jax_compilation_cache_dir", args.jit_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     backend = jax.default_backend()
     if args.tpu and backend != "tpu":
         raise SystemExit(f"--tpu requested but backend is {backend}")

@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--objects", type=int, default=24)
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--n-per", type=int, default=2)
+    ap.add_argument("--platforms", default=None, metavar="P1,P2",
+                    help="lowering targets, e.g. 'cpu,tpu': a CPU build host "
+                         "can produce an artifact a TPU fleet deserializes "
+                         "(TPU lowering is ahead-of-time; note Pallas kernel "
+                         "selection happens at trace time, so O>=64 TPU "
+                         "kernels require exporting ON a TPU host)")
     args = ap.parse_args()
     if not args.tpu:
         # all three are needed — the axon TPU plugin ignores JAX_PLATFORMS
@@ -67,8 +73,10 @@ def main():
     from dfol_vqa_tpu.models.interpreter import Interpreter
     from dfol_vqa_tpu.serve import ServingEngine
 
+    platforms = tuple(args.platforms.split(",")) if args.platforms else None
     t0 = time.perf_counter()
-    manifest = export_serving_set(eng, qs, args.out, include_traces=True)
+    manifest = export_serving_set(eng, qs, args.out, platforms=platforms,
+                                  include_traces=True)
     export_s = time.perf_counter() - t0
     size = sum(
         os.path.getsize(os.path.join(args.out, f)) for f in os.listdir(args.out)

@@ -129,6 +129,39 @@ def test_artifact_engine_mismatch_rejected(ontology, world, tmp_path):
         load_serving_set(str(tmp_path / "art"), engine=eng3)
 
 
+def test_dual_platform_export_from_cpu_host(ontology, world, tmp_path):
+    """A CPU build host can lower for cpu AND tpu ahead-of-time; the
+    dual-platform artifact still serves on the cpu leg with zero traces
+    (the deployment story: build once, deserialize on the TPU fleet)."""
+    cfg = small_cfg()
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    qs = world.generate_family("exist", 2, length=0, seed=1)
+    eng = ServingEngine(cfg, ontology, params, features=world,
+                        max_batch=2, batch_ladder=(1, 2), start=False)
+    m = export_serving_set(eng, qs, str(tmp_path / "art"),
+                           batch_sizes=[1, 2], platforms=("cpu", "tpu"))
+    assert m["platforms"] == ["cpu", "tpu"]
+
+    live = ServingEngine(cfg, ontology, params, features=world,
+                         max_batch=2, batch_ladder=(1, 2))
+    try:
+        want = [r.answers for r in live.answer_many(qs)]
+    finally:
+        live.stop()
+
+    loaded = load_serving_set(str(tmp_path / "art"), engine=eng)
+    eng2 = ServingEngine(cfg, ontology, params, features=world,
+                         max_batch=2, batch_ladder=(1, 2), executables=loaded)
+    try:
+        got = [r.answers for r in eng2.answer_many(qs)]
+    finally:
+        eng2.stop()
+    assert got == want
+    assert eng2.stats["compiled_steps"] == 0
+    assert eng2.stats["aot_steps"] >= 1
+
+
 def test_artifact_format_guard(tmp_path):
     import json
     import os

@@ -1,0 +1,43 @@
+"""On-chip serving smoke: warm a small executable set, serve a burst,
+assert zero serve-time compiles. Exit 3 when no TPU backend is reachable
+(the hardware-gated test in tests/test_tpu_hw.py skips on that)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print(f"backend={jax.default_backend()}")
+        return 3
+
+    from dfol_vqa_tpu.serve import build_demo_engine
+
+    cfg, ont, world, eng = build_demo_engine(objects=24, max_batch=8)
+    try:
+        qs = []
+        for fam, ln in (("exist", 0), ("exist", 2), ("query_attr", 1)):
+            qs.extend(world.generate_family(fam, 4, length=ln, seed=5,
+                                            id_prefix=f"t{fam}{ln}"))
+        winfo = eng.warmup(qs, batch_sizes=[1, 8])
+        warm = eng.stats["compiled_steps"]
+        t0 = time.perf_counter()
+        results = eng.answer_many(qs * 4)
+        dt = time.perf_counter() - t0
+        ok = (eng.stats["compiled_steps"] == warm
+              and all(r.answers for r in results))
+        print(f"warmup={winfo} burst_qps={len(qs) * 4 / dt:.1f} "
+              f"serve_compiles={eng.stats['compiled_steps'] - warm}")
+        print(f"serving_ok={ok}")
+        return 0 if ok else 1
+    finally:
+        eng.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -30,6 +30,17 @@ def _run_on_tpu(script: str) -> subprocess.CompletedProcess:
         pytest.skip("TPU unreachable or busy (600s)")
 
 
+def test_serving_on_chip_zero_compiles():
+    """Online serving on the real backend: after warmup over the request
+    signatures, a burst serves with ZERO additional compiles (serve.py's
+    closed-executable-set invariant, on hardware)."""
+    r = _run_on_tpu("verify_serving_tpu.py")
+    if r.returncode == 3:
+        pytest.skip(f"no TPU backend: {r.stdout.strip()}")
+    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr[-2000:]}"
+    assert "serving_ok=True" in r.stdout
+
+
 def test_rel_stream_bf16_bit_identity():
     """ADVICE (low): tpu.rel_stream_dtype defaults to bf16 with a
     'bit-identical' claim that no CPU test can exercise (Pallas path needs

@@ -278,6 +278,25 @@ def test_engine_on_mesh_matches_single_device(ontology, world):
     assert got == want
 
 
+def test_engine_serves_trainable_interpreter(ontology, world):
+    """The F>1 trainable-interpreter mode serves identically to its
+    offline path (the engine is oracle-config agnostic)."""
+    cfg = small_cfg(oracle_output_dim=4, operator_layers_config=[8])
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    qs = (world.generate_family("exist", 2, length=1, seed=31)
+          + world.generate_family("query_attr", 2, length=1, seed=32))
+    want = direct_answers(cfg, ontology, world, params, qs)
+
+    eng = ServingEngine(cfg, ontology, params, features=world,
+                        max_batch=4, max_delay_ms=5.0)
+    try:
+        got = [r.answers for r in eng.answer_many(qs)]
+    finally:
+        eng.stop()
+    assert got == want
+
+
 def test_trace_diagnostic(ontology, world):
     """engine.trace returns the hop-by-hop attention schema and the same
     answer as the batched serving path."""

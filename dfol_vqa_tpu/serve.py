@@ -56,6 +56,7 @@ from __future__ import annotations
 import dataclasses
 import threading
 import time
+from concurrent import futures
 from concurrent.futures import Future
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -386,14 +387,23 @@ class ServingEngine:
         return r.future
 
     def warmup(self, questions: Sequence[dict], batch_sizes=None,
-               traces: bool = False) -> dict:
+               traces: bool = False, workers: int = None) -> dict:
         """Precompile the executable set for a representative sample.
 
         For every distinct canonical spec in ``questions``, compile + run the
         eval step at every batch-ladder rung that the policy can produce
         (``<= rung(max_batch)``, or an explicit ``batch_sizes``). After this,
         serving mints ZERO compilations for traffic whose signatures appeared
-        in the sample (tests/test_serving.py::test_executable_set_closed)."""
+        in the sample (tests/test_serving.py::test_executable_set_closed).
+
+        ``workers`` > 1 compiles the set from a thread pool: XLA compilation
+        releases the GIL (and on a remote frontend mostly waits on the
+        compile RPC), so independent (spec, batch) executables overlap —
+        cold-start drops by ~the pool width on remote backends. Safe because
+        ``_eval_step`` serializes jitted-fn creation per key behind
+        ``_compile_lock`` and stats are lock-guarded; distinct work items
+        compile distinct executables. Default: 8 when more than one work
+        item, else serial."""
         if batch_sizes is None:
             top = _pad_ladder(self.max_batch, self.batch_ladder)
             batch_sizes = [b for b in self.batch_ladder if b <= top]
@@ -408,18 +418,34 @@ class ServingEngine:
                     [q["imageId"]], self.cfg.tpu.max_object_num
                 )
                 reps[key] = _Request(q, objs[0], mask[0], cb)
+        work = [(key, r, B) for key, r in reps.items() for B in batch_sizes]
+        if traces:  # also pre-compile the /v1/trace diagnostics step
+            work += [(key, r, None) for key, r in reps.items()]
+        if workers is None:
+            workers = 8 if len(work) > 1 else 1
         t0 = time.perf_counter()
         before = self.stats["compiled_steps"]
-        for key, r in reps.items():
-            for B in batch_sizes:
-                self._execute(key, [r], pad_to=B)
-            if traces:  # also pre-compile the /v1/trace diagnostics step
+
+        def _one(item):
+            key, r, B = item
+            if B is None:
                 self.trace(r.question, r.objects, r.obj_mask)
+            else:
+                self._execute(key, [r], pad_to=B)
+
+        if workers <= 1:
+            for item in work:
+                _one(item)
+        else:
+            with futures.ThreadPoolExecutor(max_workers=workers) as pool:
+                # list() re-raises the first worker exception, if any
+                list(pool.map(_one, work))
         return {
             "specs": len(reps),
             "batch_sizes": list(batch_sizes),
             "compiled": self.stats["compiled_steps"] - before,
             "seconds": time.perf_counter() - t0,
+            "workers": workers,
         }
 
     def flush(self):

@@ -143,7 +143,16 @@ def main():
     ap.add_argument("--loads", default="50,200,1000")
     ap.add_argument("--duration", type=float, default=8.0)
     ap.add_argument("--closed-n", type=int, default=2000)
+    ap.add_argument("--warmup-workers", type=int, default=None,
+                    help="thread-pool width for warmup compilation "
+                         "(default: engine default, 8)")
+    ap.add_argument("--jit-cache", default=None,
+                    help="persistent XLA compilation cache dir: a restarted "
+                         "server re-warms from disk instead of recompiling "
+                         "(same flag as dfol-vqa-serve)")
     args = ap.parse_args()
+    if args.jit_cache:
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", args.jit_cache)
     if not args.tpu:
         # all three are needed — the axon TPU plugin ignores JAX_PLATFORMS
         # alone and would then hang on an unreachable tunnel
@@ -154,6 +163,10 @@ def main():
 
     if not args.tpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.jit_cache:
+        jax.config.update("jax_compilation_cache_dir", args.jit_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     backend = jax.default_backend()
     if args.tpu and backend != "tpu":
@@ -166,7 +179,7 @@ def main():
 
     # warmup: precompile every canonical spec in the pool at every batch rung
     # the policy can produce — serving then mints zero compilations
-    winfo = eng.warmup(qs)
+    winfo = eng.warmup(qs, workers=args.warmup_workers)
     warm_s, warm_steps = winfo["seconds"], eng.stats["compiled_steps"]
     print(f"[serving_bench] warmup {winfo}", flush=True)
 
@@ -194,7 +207,9 @@ def main():
             "max_delay_ms": args.max_delay_ms,
             "transfer_dtype": eng.transfer_dtype,
         },
-        "warmup": {"seconds": warm_s, "executables": warm_steps},
+        "warmup": {"seconds": warm_s, "executables": warm_steps,
+                   "workers": winfo.get("workers"),
+                   "jit_cache": args.jit_cache},
         "executables_after_load": post_steps,
         "open_loop": rows,
         "closed_loop": closed,

@@ -363,3 +363,37 @@ def test_supervision_terminals_rejected(ontology, world):
     with pytest.raises(ValueError):
         eng.submit({"program": {"branches": [], "last_op": {"operator": "scene", "arguments": []}},
                     "imageId": world.image_ids[0]})
+
+
+def test_parallel_warmup_matches_serial(ontology, world):
+    """warmup(workers=8) compiles the SAME closed executable set as the
+    serial pass (per-key jitted-fn creation is serialized behind
+    _compile_lock; distinct (spec, batch-rung) items compile distinct
+    executables concurrently) and traffic answers are identical."""
+    cfg = small_cfg()
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    qs = mixed_stream(world, n_per_family=2, lengths=(0, 1), seed=77)
+    # warmup must cover the traffic's canonical specs for the set to close
+    sample = mixed_stream(world, n_per_family=1, lengths=(0, 1), seed=3) + qs
+
+    def run(workers):
+        eng = ServingEngine(cfg, ontology, params, features=world,
+                            max_batch=4, max_delay_ms=2.0,
+                            batch_ladder=(1, 2, 4))
+        try:
+            info = eng.warmup(sample, workers=workers, traces=True)
+            warm = eng.stats["compiled_steps"]
+            got = [r.answers for r in eng.answer_many(qs)]
+            tr = eng.trace(sample[0])
+            assert eng.stats["compiled_steps"] == warm  # set stays closed
+            return info, got, tr["answers"]
+        finally:
+            eng.stop()
+
+    info_s, got_s, tr_s = run(workers=1)
+    info_p, got_p, tr_p = run(workers=8)
+    assert info_p["workers"] == 8 and info_s["workers"] == 1
+    assert info_p["compiled"] == info_s["compiled"] == info_s["specs"] * 3
+    assert got_p == got_s
+    assert tr_p == tr_s

@@ -888,7 +888,44 @@ def main():
             ),
         },
     }
-    print(json.dumps(result))
+    # Full result -> round-stamped detail file; stdout gets ONE compact
+    # (<1 KB) headline line as the FINAL line. Rationale (VERDICT r3 weak
+    # #2): the driver tail-captures stdout and r3's single giant JSON line
+    # outgrew the window — BENCH_r03.json recorded "parsed": null and the
+    # round-3 headline was never machine-captured.
+    detail_path = os.path.join(REPO, f"BENCH_DETAIL_r{_next_round():02d}.json")
+    with open(detail_path, "w") as f:
+        json.dump(result, f, indent=1)
+    headline = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "train_qps_chunked": result["train_qps_chunked"],
+        "device_vs_baseline_e2e": result["extras"]["device_vs_baseline_e2e"],
+        "o100_device_qps": result["extras"]["exist_3hop_O100_device_qps"],
+        "mfu_ladder_best24_mfu": (best24 or {}).get("mfu"),
+        "serving_qps": (serving or {}).get("closed_loop_qps"),
+        "device_kind": device_kind,
+        "detail": os.path.basename(detail_path),
+    }
+    line = json.dumps(headline)
+    assert len(line) < 1024, f"headline line must stay <1KB, got {len(line)}"
+    print(line)
+
+
+def _next_round() -> int:
+    """Round number for the detail file: 1 + the highest BENCH_r*.json the
+    driver has already recorded (the driver writes BENCH_rN at the END of
+    round N, after bench.py runs)."""
+    import re
+
+    best = 3  # rounds 1-3 predate the detail file
+    for name in os.listdir(REPO):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ object_batch_index.
 from __future__ import annotations
 
 import json
+import zlib
 from os.path import join
 from typing import Dict, List, Optional, Tuple
 
@@ -131,7 +132,11 @@ class SyntheticFeatures(FeatureSource):
     def image(self, image_id: str) -> Tuple[np.ndarray, int]:
         if image_id in self._cache:
             return self._cache[image_id]
-        h = abs(hash((self._seed, image_id))) % (2**32)
+        # Process-independent seed (crc32, not builtin hash(): the latter is
+        # PYTHONHASHSEED-randomized across interpreters, so spawn workers and
+        # re-runs would see different scenes — same scheme as planted.py).
+        # NOTE: changed in r4 from hash(); r4 synthetic scenes differ from r3.
+        h = (zlib.crc32(f"synth/{image_id}".encode()) ^ (self._seed * 0x9E3779B1)) % (2**32)
         rng = np.random.default_rng(h)
         n = int(rng.integers(self._min, self._max + 1))
         out = np.zeros((n, self.box_dim + 6), np.float32)

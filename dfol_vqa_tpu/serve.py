@@ -387,7 +387,7 @@ class ServingEngine:
         return r.future
 
     def warmup(self, questions: Sequence[dict], batch_sizes=None,
-               traces: bool = False, workers: int = None) -> dict:
+               traces: bool = False, workers: Optional[int] = None) -> dict:
         """Precompile the executable set for a representative sample.
 
         For every distinct canonical spec in ``questions``, compile + run the
@@ -403,7 +403,11 @@ class ServingEngine:
         ``_eval_step`` serializes jitted-fn creation per key behind
         ``_compile_lock`` and stats are lock-guarded; distinct work items
         compile distinct executables. Default: 8 when more than one work
-        item, else serial."""
+        item, else serial.
+
+        CHANGELOG (r3): the default switched from serial to this 8-thread
+        pool for all callers (http_frontend, bench.py) — cold-start/warmup
+        timings from before that change are not comparable."""
         if batch_sizes is None:
             top = _pad_ladder(self.max_batch, self.batch_ladder)
             batch_sizes = [b for b in self.batch_ladder if b <= top]

@@ -151,8 +151,8 @@ def main():
                          "server re-warms from disk instead of recompiling "
                          "(same flag as dfol-vqa-serve)")
     args = ap.parse_args()
-    if args.jit_cache:
-        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", args.jit_cache)
+    # --jit-cache is applied via jax.config.update below (an env setdefault
+    # here would be read too late: jax may already be imported — ADVICE r3)
     if not args.tpu:
         # all three are needed — the axon TPU plugin ignores JAX_PLATFORMS
         # alone and would then hang on an unreachable tunnel

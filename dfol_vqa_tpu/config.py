@@ -37,6 +37,16 @@ class TPUConfig:
     # halving the dominant HBM traffic (O=100: 0.73 -> 0.57 ms/batch).
     # Set "float32" when running under jax.default_matmul_precision-style
     # full-precision overrides.
+    cache_dtype: str = "float32"  # HBM storage dtype of the oracle's
+    # likelihood CACHES: the (U, O, V+1) attribute cache and the
+    # (B, R, O, O) relation cache — the two largest eval-step HBM writers
+    # (the step is bandwidth-bound, BENCH r3 mfu_ladder). "bfloat16" halves
+    # that traffic; every consumer gathers then upcasts, so all fuzzy-logic
+    # arithmetic stays fp32 — only the stored log-likelihoods round
+    # (~0.4% relative). Unlike rel_stream_dtype this is NOT bit-identical:
+    # near-ties within bf16 epsilon can flip, so the default stays fp32
+    # (bitwise reference parity) and production serving/bench enable bf16,
+    # with answer-losslessness pinned by tests/test_bf16.py fuzz sweeps.
     vocab_pad_multiple: int = 128  # pad the embedding head's vocab dim to a
     # lane multiple (2335 -> 2432): MXU-aligned matmuls + evenly shardable
     # over the model mesh axis; padded columns are never addressed (codes

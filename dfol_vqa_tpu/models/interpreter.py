@@ -108,7 +108,9 @@ def _gather_attr(world: World, tok: jnp.ndarray) -> jnp.ndarray:
     attribute cache is addressed by (image row, object, |token| column)."""
     O = world.attr_ll.shape[1]
     o_iota = jnp.arange(O, dtype=jnp.int32)
-    ll = world.attr_ll[world.img_index[:, None], o_iota[None, :], jnp.abs(tok)[:, None]]
+    ll = world.attr_ll[
+        world.img_index[:, None], o_iota[None, :], jnp.abs(tok)[:, None]
+    ].astype(jnp.float32)
     return _apply_negation_exact(ll, (tok < 0).astype(ll.dtype))
 
 
@@ -119,7 +121,7 @@ def _gather_attr_options(world: World, toks: jnp.ndarray) -> jnp.ndarray:
     o_iota = jnp.arange(O, dtype=jnp.int32)
     return world.attr_ll[
         world.img_index[:, None, None], o_iota[None, None, :], jnp.abs(toks)[:, :, None]
-    ]
+    ].astype(jnp.float32)
 
 
 def _apply_option_negation(ll: jnp.ndarray, toks: jnp.ndarray) -> jnp.ndarray:
@@ -133,12 +135,13 @@ def _gather_rel(rel_ll: jnp.ndarray, idx: jnp.ndarray, tok: jnp.ndarray) -> jnp.
     lane) tiles — an R-last layout pads R=8 lanes to 128 on TPU (16x the
     HBM bytes for the cache)."""
     ll = jnp.take_along_axis(rel_ll, idx[:, None, None, None], axis=1)[:, 0]
+    ll = ll.astype(jnp.float32)
     return _apply_negation_exact(ll, (tok < 0).astype(ll.dtype))
 
 
 def _gather_rel_options(rel_ll: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """rel_ll (B, R, O, O), idx (B, K) -> (B, K, O, O) raw."""
-    return jnp.take_along_axis(rel_ll, idx[:, :, None, None], axis=1)
+    return jnp.take_along_axis(rel_ll, idx[:, :, None, None], axis=1).astype(jnp.float32)
 
 
 # -------------------------------------------------------------- logic pieces
@@ -323,6 +326,13 @@ class Interpreter:
             R = 1 if rel_tokens is None else rel_tokens.shape[1]
             rel_ll = jnp.zeros((B, R, 1, 1), jnp.float32)
             rel_tokens = jnp.zeros((B, R), jnp.int32) if rel_tokens is None else rel_tokens
+        # Cache storage dtype (tpu.cache_dtype): the convert fuses into the
+        # producing matmul epilogue, so bf16 halves the caches' HBM write
+        # AND all downstream gather reads; consumers upcast (see _gather_*)
+        # so the fuzzy-logic algebra stays fp32.
+        cache_dtype = jnp.dtype(cfg.tpu.cache_dtype)
+        attr_ll = attr_ll.astype(cache_dtype)
+        rel_ll = rel_ll.astype(cache_dtype)
         return World(
             obj_mask=obj_mask,
             attr_ll=attr_ll,
@@ -630,7 +640,7 @@ class Interpreter:
             from dfol_vqa_tpu.models.oracle import rel_scores_for_pairs
 
             attr_lp = jnp.take(world.attr_ll, self._attr_index_arr + 1, axis=2)
-            attr_lp = jnp.take(attr_lp, world.img_index, axis=0)
+            attr_lp = jnp.take(attr_lp, world.img_index, axis=0).astype(jnp.float32)
             rel_lp = rel_scores_for_pairs(
                 params, world.attr_in, world.pos, arrays["pair_idx"], cfg,
                 rel_cols=self._rel_index_arr,

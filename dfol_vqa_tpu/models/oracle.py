@@ -88,7 +88,16 @@ def _op_module_ll(
     """Per-channel concept logits (..., ) + (..., F-1) -> scalar log-likelihood.
 
     The cache-fused analog of BatchBayesianLogicCell._trainable_module
-    (batch_base_ops.py:190-192): sigmoid feature vector -> LoglikelihoodMLP."""
+    (batch_base_ops.py:190-192): sigmoid feature vector -> operator MLP.
+
+    RESIDUAL, IDENTITY AT INIT (r4): the module emits a pre-sigmoid DELTA
+    on top of the channel-0 logit — ``logsigmoid(logits0 + mlp(feats))`` —
+    and init_oracle_params zero-initializes the module's final layer, so an
+    F>1 model reproduces the F=1 model bitwise at step 0 and the extra
+    channels are strictly additive capacity. The r3 formulation
+    (``logsigmoid(mlp(feats))`` with a random final layer) started every
+    F>1 run from a scrambled oracle and lost −0.24 accuracy at equal steps
+    (TRAINABLE_ABLATION_r03)."""
     feats = jax.nn.sigmoid(
         jnp.concatenate([logits0[..., None], logits_extra], axis=-1)
     )
@@ -99,10 +108,11 @@ def _op_module_ll(
             "list (e.g. []); None (identity operator module) cannot reduce "
             "the feature axis."
         )
-    return nn.mlp_apply(
-        mod, feats, final="logsigmoid", dropout_rate=cfg.dropout, rng=rng,
+    delta = nn.mlp_apply(
+        mod, feats, final="none", dropout_rate=cfg.dropout, rng=rng,
         deterministic=deterministic,
     )[..., 0]
+    return jax.nn.log_sigmoid(logits0 + delta)
 
 
 def _extra_emb_select(params, tok0: jnp.ndarray):
@@ -164,9 +174,20 @@ def init_oracle_params(key, cfg: Config, ontology) -> Dict[str, Any]:
                 "oracle_output_dim > 1 requires operator_layers_config to be "
                 "a list (e.g. [] for a single Linear(F -> 1))."
             )
+        def zero_final(mod):
+            # identity at init (see _op_module_ll): the module's output is a
+            # residual delta; a zero final layer makes it vanish at step 0,
+            # so F>1 == F=1 bitwise until training moves the extras
+            last = mod["layers"][-1]
+            mod["layers"][-1] = {
+                "w": jnp.zeros_like(last["w"]),
+                "b": jnp.zeros_like(last["b"]),
+            }
+            return mod
+
         params["op_modules"] = {
-            "arity1": nn.mlp_init(k_o1, F, cfg.operator_layers_config, 1),
-            "arity2": nn.mlp_init(k_o2, F, cfg.operator_layers_config, 1),
+            "arity1": zero_final(nn.mlp_init(k_o1, F, cfg.operator_layers_config, 1)),
+            "arity2": zero_final(nn.mlp_init(k_o2, F, cfg.operator_layers_config, 1)),
         }
     return params
 

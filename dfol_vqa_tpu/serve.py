@@ -727,7 +727,8 @@ class ServingEngine:
 
 def build_demo_engine(tiny: bool = False, objects: int = 24,
                       max_batch: int = 32, max_delay_ms: float = 10.0,
-                      executables=None, seed: int = 0):
+                      executables=None, seed: int = 0,
+                      batch_ladder: Optional[Sequence[int]] = None):
     """Demo/bench engine over the planted world.
 
     THE single construction shared by the HTTP daemon CLI
@@ -759,10 +760,12 @@ def build_demo_engine(tiny: bool = False, objects: int = 24,
         n_images=48, min_objects=4, max_objects=cfg.tpu.max_object_num,
         noise=0.1, seed=seed,
     )
+    extra = {} if batch_ladder is None else {"batch_ladder": tuple(batch_ladder)}
     eng = ServingEngine(
         cfg, ont, params, features=world,
         max_batch=max_batch, max_delay_ms=max_delay_ms,
         transfer_dtype=None if tiny else "bfloat16",
         executables=executables,
+        **extra,
     )
     return cfg, ont, world, eng

@@ -115,6 +115,12 @@ def save(export_path_base: str, name: str, params, global_step: int = 0,
     flat["__global_step__"] = np.asarray(global_step)
     final = os.path.join(export_path_base, name + ".npz")
     if async_write:
+        # device_get is a no-copy passthrough for host-numpy leaves (and may
+        # return views for CPU jax arrays), so the background write would
+        # race with in-place reuse of the caller's buffers (donation). Take
+        # a private snapshot NOW — the cheap part; the stall being removed
+        # is the serialize+fsync.
+        flat = {k: np.array(v) for k, v in flat.items()}
         _PENDING.append(_writer().submit(_write_npz, flat, final))
         return
     _write_npz(flat, final)

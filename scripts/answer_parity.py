@@ -429,10 +429,101 @@ def run_calibrator_phase(ont_dim, rng, per_op, batch, report):
     return total_match, total_n
 
 
+def run_serving_phase(ont, rng, per_op, batch, report):
+    """ServingEngine.submit vs the offline executor, same weights, the same
+    fuzz corpus (VERDICT r3 item 10): the engine's request canonicalization
+    (spec zeroing, seg/fill/batch ladders, pad rows) must NEVER change an
+    answer. Legs: F=1, trainable F=4, calibrated."""
+    from dfol_vqa_tpu.data.dataset import ProgramDataset
+    from dfol_vqa_tpu.data.features import SyntheticFeatures
+    from dfol_vqa_tpu.data.loader import BatchLoader
+    from dfol_vqa_tpu.models.interpreter import decode_answer_flags
+    from dfol_vqa_tpu.serve import ServingEngine
+
+    legs = {
+        "f1": {},
+        "f4_trainable": dict(oracle_output_dim=4, operator_layers_config=[8]),
+        "calibrated": dict(activate_attention_transfer=True,
+                           freeze_attention_network=False),
+    }
+    section = {}
+    total_match = total_n = 0
+    for leg, overrides in legs.items():
+        cfg = fmp.tiny_cfg()
+        for k, v in overrides.items():
+            setattr(cfg, k, v)
+        interp = Interpreter(cfg, ont)
+        params = interp.init_params(jax.random.PRNGKey(17))
+        # jitter all weights so zero-init subtrees (residual operator
+        # modules, calibrator output head) are ACTIVE in the comparison
+        jit_key = jax.random.PRNGKey(5)
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jit_key, len(leaves))
+        leaves = [
+            x + 0.05 * jax.random.normal(k, x.shape, x.dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x
+            for x, k in zip(leaves, keys)
+        ]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+        feats = SyntheticFeatures(box_dim=cfg.box_features_dim, min_objects=3,
+                                  max_objects=cfg.tpu.max_object_num, seed=3)
+        compiler = ProgramCompiler(
+            ont, object_num=cfg.tpu.max_object_num, rel_slots=cfg.tpu.rel_table_size
+        )
+        eng = ServingEngine(cfg, ont, params, features=feats, max_batch=8,
+                            max_delay_ms=2.0)
+        agree = n = 0
+        mismatches = []
+        for term in TERMS:
+            for length in (1, 2):
+                qs = synth_questions(ont, rng, term, max(per_op // 2, 2), length)
+                loader = BatchLoader(
+                    [ProgramDataset(qs, ont)], compiler, feats, batch,
+                    cfg.tpu.max_object_num, shuffle=False, prefetch=0,
+                )
+                offline = {}
+                for b in loader:
+                    step = interp.step(b.spec, is_training=False)
+                    out = step(
+                        params, jnp.asarray(b.objects), jnp.asarray(b.obj_mask),
+                        {k: jnp.asarray(v) for k, v in b.arrays.items()}, None,
+                    )
+                    answers = decode_answer_flags(out["answer_flags"], b.spec, b.compiled)
+                    for qi, qid in enumerate(b.compiled.question_ids):
+                        if b.compiled.question_mask[qi]:
+                            offline[qid] = [str(a) for a in answers[qi]]
+                results = eng.answer_many(qs)
+                for q, r in zip(qs, results):
+                    ok = [str(a) for a in r.answers] == offline[q["question_id"]]
+                    agree += int(ok)
+                    n += 1
+                    if not ok and len(mismatches) < 5:
+                        mismatches.append(
+                            {"term": term, "qid": q["question_id"],
+                             "serving": list(r.answers),
+                             "offline": offline[q["question_id"]]}
+                        )
+        stats = dict(eng.stats)
+        eng.stop()
+        section[leg] = {
+            "questions": n,
+            "answer_agreement": agree / max(n, 1),
+            "serve_compiled_steps": stats["compiled_steps"],
+        }
+        if mismatches:
+            section[leg]["mismatches_sample"] = mismatches
+        total_match += agree
+        total_n += n
+    report["serving"] = section
+    return total_match, total_n
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-op", type=int, default=330)
     ap.add_argument("--calib-per-op", type=int, default=150)
+    ap.add_argument("--serving-per-op", type=int, default=48)
     ap.add_argument("--batch", type=int, default=6)
     args = ap.parse_args()
 
@@ -447,14 +538,18 @@ def main():
     m2, n2 = run_calibrator_phase(fmp.EMB_DIM, rng, args.calib_per_op, args.batch, report)
     m3, n3 = run_hard_phase(ont, params, rng, args.per_op // 2, args.batch, report)
     m4, n4 = run_supervision_phase(ont, params, rng, args.per_op // 4, args.batch, report)
+    m5, n5 = run_serving_phase(ont, rng, args.serving_per_op, args.batch, report)
 
     report["_overall"] = {
-        "questions": n1 + n2 + n3 + n4,
-        "answer_agreement": (m1 + m2 + m3 + m4) / max(n1 + n2 + n3 + n4, 1),
+        "questions": n1 + n2 + n3 + n4 + n5,
+        "answer_agreement": (m1 + m2 + m3 + m4 + m5)
+        / max(n1 + n2 + n3 + n4 + n5, 1),
         "fuzz": "lengths 1-3, neg_prob 0.15, wildcard_prob 0.1, ragged options; "
                 "hard_mode eval legs (13 terminals x lengths 1-2); supervision "
                 "terminals object_attr/object_rel/scene (full coverage: "
-                "16/16 terminals x {soft, hard})",
+                "16/16 terminals x {soft, hard}); serving-engine-vs-offline "
+                "legs (f1 / trainable f4 / calibrated) over 13 terminals x "
+                "lengths 1-2",
     }
     out = os.path.join(REPO, "PARITY_REPORT.json")
     with open(out, "w") as f:

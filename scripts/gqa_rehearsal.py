@@ -1,0 +1,374 @@
+"""Real-GQA day-1 rehearsal: official-format questions -> submission JSON.
+
+One command exercises the ENTIRE first-day-with-the-dataset flow on
+reference-format fixtures (VERDICT r3 missing #1), mirroring the reference
+pipeline `gqa_preprocess.py:365-398` -> `gqa_interpreter_experiments.py:
+266-283 -p -u`:
+
+  1. fixture: official GQA questions JSON (dict qid -> {semantic, answer,
+     imageId}) + official objects HDF5 chunk files + gqa_objects_info.json,
+     generated from a planted world so ground-truth answers are exact;
+  2. `python -m dfol_vqa_tpu.compiler.preprocess_cli <questions> <out> -b`
+     (program JSON-lines segregated by terminal op, then int-coded H5);
+  3. program verification (GQAProgramVerifier) over every emitted program;
+  4. curriculum stage-0 style training from the H5 program files + official
+     objects H5 (`python -m dfol_vqa_tpu.experiments.gqa_experiment cfg -c`);
+  5. predict + GQA submission JSON (`-t -p -u -l best -c`);
+  6. format + accuracy asserts; every stage's outputs hashed into
+     GQA_REHEARSAL_r04.json.
+
+Run:  python scripts/gqa_rehearsal.py [--out GQA_REHEARSAL_r04.json]
+      (CPU-only, ~10-20 min incl. XLA compiles; --fast shrinks everything)
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# preprocess/fixture stages never touch jax; the train/predict stages run in
+# subprocesses with their own (CPU-pinned) jax. Pin here too for safety.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+
+
+def sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def file_record(path: str) -> dict:
+    rec = {"path": os.path.relpath(path, REPO) if path.startswith(REPO) else path,
+           "sha256": sha256(path), "bytes": os.path.getsize(path)}
+    if path.endswith(".h5"):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            rec["shapes"] = {k: list(f[k].shape) for k in f.keys()}
+    return rec
+
+
+def run_stage(name: str, cmd: list, env=None, timeout=3600) -> dict:
+    t0 = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                          timeout=timeout, cwd=REPO)
+    rec = {"stage": name, "cmd": " ".join(cmd), "rc": proc.returncode,
+           "seconds": round(time.time() - t0, 1)}
+    if proc.returncode != 0:
+        rec["stderr_tail"] = proc.stderr[-3000:]
+        raise RuntimeError(f"stage {name} failed rc={proc.returncode}:\n"
+                           f"{proc.stderr[-3000:]}")
+    return rec
+
+
+# --------------------------------------------------------------- fixture gen
+
+def to_semantic(world, q: dict) -> list:
+    """Program-format planted question -> official GQA `semantic` list
+    (inverse of the preprocessor's parse path, gqa_preprocess.py:292-361)."""
+    sem = []
+    prev = -1
+    branch = q["program"]["branches"][0]
+    for op in branch:
+        o, args = op["operator"], op["arguments"]
+        if o == "select":
+            sem.append({"operation": "select", "argument": f"{args[0]} (1)",
+                        "dependencies": []})
+        elif o == "filter":
+            tok = args[0]
+            cat = world.categories[world._opt_cat[tok]][0]
+            sem.append({"operation": f"filter {cat}", "argument": tok,
+                        "dependencies": [prev]})
+        elif o == "relate":
+            rel, is_subject, aux = args
+            marker = "s" if is_subject else "o"
+            sem.append({"operation": "relate",
+                        "argument": f"{aux},{rel},{marker} (2)",
+                        "dependencies": [prev]})
+        else:
+            raise ValueError(o)
+        prev = len(sem) - 1
+    last = q["program"]["last_op"]
+    lo, largs = last["operator"], last["arguments"]
+    if lo == "exist":
+        sem.append({"operation": "exist", "argument": "?", "dependencies": [prev]})
+    elif lo == "query_attr":
+        sem.append({"operation": "query", "argument": largs[0], "dependencies": [prev]})
+    elif lo == "verify_attr":
+        tok = largs[0]
+        cat = world.categories[world._opt_cat[tok]][0]
+        sem.append({"operation": f"verify {cat}", "argument": tok,
+                    "dependencies": [prev]})
+    else:
+        raise ValueError(lo)
+    return sem
+
+
+def build_fixture(work: str, fast: bool) -> dict:
+    from dfol_vqa_tpu.data.planted import PlantedWorld
+    from dfol_vqa_tpu.ontology import GQAOntology
+
+    ont = GQAOntology()
+    box_dim = 48
+    world = PlantedWorld(ont, box_dim=box_dim, n_nouns=6, n_attrs=6,
+                         n_images=32 if fast else 64, min_objects=4,
+                         max_objects=10, noise=0.15, seed=11,
+                         image_id_space="vocab")
+
+    n_train = 96 if fast else 320
+    n_eval = 32 if fast else 64
+    splits = {
+        "train": (world.generate_family("exist", n_train, length=1, seed=1,
+                                        image_slice=(0.0, 0.7), id_prefix="tr"),),
+        "val": (world.generate_family("exist", n_eval, length=1, seed=2,
+                                      image_slice=(0.7, 0.85), id_prefix="va"),),
+        "test": (world.generate_family("exist", n_eval, length=1, seed=3,
+                                       image_slice=(0.85, 1.0), id_prefix="te"),
+                 world.generate_family("query_attr", n_eval // 2, length=1, seed=4,
+                                       image_slice=(0.85, 1.0), id_prefix="tq")),
+    }
+
+    q_files, answers = {}, {}
+    for split, family_lists in splits.items():
+        official = {}
+        for qs in family_lists:
+            for q in qs:
+                qid = q["question_id"]
+                official[qid] = {
+                    "semantic": to_semantic(world, q),
+                    "answer": q["answer"],
+                    "imageId": q["imageId"],
+                    "fullAnswer": q["answer"],
+                    "question": f"(rehearsal fixture {qid})",
+                }
+                answers[qid] = q["answer"]
+        path = os.path.join(work, f"rehearsal_{split}.json")
+        with open(path, "w") as f:
+            json.dump(official, f)
+        q_files[split] = path
+
+    # official objects HDF5: features (N, O_max, D) + bboxes x1y1x2y2 over
+    # 2 chunk files + info JSON (batch_gqa_boxfeatures_pipeline.py:26-73 shape)
+    obj_dir = os.path.join(work, "objects")
+    os.makedirs(obj_dir, exist_ok=True)
+    import h5py
+
+    ids = world.image_ids
+    O_max = 12
+    chunk_num = 2
+    per = (len(ids) + chunk_num - 1) // chunk_num
+    info = {}
+    for c in range(chunk_num):
+        chunk_ids = ids[c * per:(c + 1) * per]
+        feats = np.zeros((len(chunk_ids), O_max, box_dim), np.float32)
+        bboxes = np.zeros((len(chunk_ids), O_max, 4), np.float32)
+        for i, im in enumerate(chunk_ids):
+            row, n = world.image(im)
+            n = min(n, O_max)
+            feats[i, :n] = row[:n, :box_dim]
+            x, y = row[:n, box_dim + 2], row[:n, box_dim + 3]
+            w, h = row[:n, box_dim + 4], row[:n, box_dim + 5]
+            bboxes[i, :n] = np.stack([x, y, x + w, y + h], axis=1)
+            info[im] = {"file": c, "idx": i, "objectsNum": int(n),
+                        "width": 640, "height": 480}
+        with h5py.File(os.path.join(obj_dir, f"gqa_objects_{c}.h5"), "w") as f:
+            f.create_dataset("features", data=feats)
+            f.create_dataset("bboxes", data=bboxes)
+    info_path = os.path.join(obj_dir, "gqa_objects_info.json")
+    with open(info_path, "w") as f:
+        json.dump(info, f)
+
+    return {"q_files": q_files, "obj_dir": obj_dir, "info_path": info_path,
+            "answers": answers, "box_dim": box_dim, "n_images": len(ids)}
+
+
+def verify_programs(path_dir: str) -> dict:
+    from dfol_vqa_tpu.compiler.verifier import GQAProgramVerifier
+    from dfol_vqa_tpu.ontology import GQAOntology
+
+    v = GQAProgramVerifier(GQAOntology())
+    n = 0
+    for root, _, files in os.walk(path_dir):
+        for fn in files:
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(root, fn)) as f:
+                for line in f:
+                    if line.strip():
+                        v.verify(json.loads(line)["program"])
+                        n += 1
+    return {"stage": "verify_programs", "programs_verified": n, "rc": 0}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "GQA_REHEARSAL_r04.json"))
+    ap.add_argument("--fast", action="store_true", help="tiny dims (test tier)")
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    args = ap.parse_args()
+
+    work = args.workdir or tempfile.mkdtemp(prefix="gqa_rehearsal_")
+    os.makedirs(work, exist_ok=True)
+    report = {"workdir": work, "fast": bool(args.fast), "stages": []}
+    t_start = time.time()
+
+    # ---- stage 1: fixture ------------------------------------------------
+    t0 = time.time()
+    fx = build_fixture(work, args.fast)
+    report["stages"].append({
+        "stage": "fixture", "rc": 0, "seconds": round(time.time() - t0, 1),
+        "n_images": fx["n_images"],
+        "outputs": [file_record(p) for p in list(fx["q_files"].values())
+                    + sorted(os.path.join(fx["obj_dir"], f)
+                             for f in os.listdir(fx["obj_dir"]))],
+    })
+
+    # ---- stage 2: preprocess CLI (JSON -> programs -> H5) ----------------
+    env = dict(os.environ)
+    pp_out = {}
+    for split, qf in fx["q_files"].items():
+        out_dir = os.path.join(work, f"pp_{split}")
+        os.makedirs(out_dir, exist_ok=True)
+        rec = run_stage(
+            f"preprocess_{split}",
+            [sys.executable, "-m", "dfol_vqa_tpu.compiler.preprocess_cli",
+             qf, out_dir, "-b"],
+            env=env,
+        )
+        name = os.path.splitext(os.path.basename(qf))[0]
+        pp_out[split] = {"json_dir": os.path.join(out_dir, "p_" + name),
+                         "h5_dir": os.path.join(out_dir, "h5_" + name)}
+        rec["outputs"] = [
+            file_record(os.path.join(d, f))
+            for d in pp_out[split].values()
+            for f in sorted(os.listdir(d))
+        ]
+        report["stages"].append(rec)
+
+    # ---- stage 3: verify every emitted program ---------------------------
+    n_ver = 0
+    for split in pp_out:
+        r = verify_programs(pp_out[split]["json_dir"])
+        n_ver += r["programs_verified"]
+    report["stages"].append({"stage": "verify_programs", "rc": 0,
+                             "programs_verified": n_ver})
+
+    # ---- stage 4: stage-0 train (H5 programs + official objects H5) ------
+    import yaml
+
+    run_dir = os.path.join(work, "runs")
+    epochs = args.epochs if args.epochs is not None else (2 if args.fast else 6)
+    cfg = {
+        "model_name": "rehearsal", "version": "stage0",
+        "train_path": pp_out["train"]["h5_dir"],
+        "validation_path": pp_out["val"]["h5_dir"],
+        # exist-only test during training epochs; predict uses the full dir
+        "test_path": pp_out["test"]["h5_dir"],
+        "train_object_path": fx["obj_dir"],
+        "train_object_info_path": fx["info_path"],
+        "h5_prefix": "gqa_objects", "h5_chunk_num": 2,
+        "model_path": run_dir,
+        "repetition_num": 1, "epoch_num": epochs,
+        "train_batch_size": 32, "test_batch_size": 32,
+        "ckeckpointing_frequency": 1000,
+        "learning_rate": 2e-3, "weight_decay": 1e-10, "dropout": 0.0,
+        "clip_norm": 5.0,
+        "box_features_dim": fx["box_dim"],
+        "oracle_input_dim": 64, "oracle_output_dim": 1,
+        "word_embedding_dim": 300,
+        "classifier_oracle": True,
+        "featurizer_layers_config": [],
+        "attribute_network_layers_config": [48],
+        "relation_network_layers_config": [48],
+        "operator_layers_config": [],
+        "normalize_oracle": True,
+        "activate_attention_transfer": False,
+        "first_answer": True, "verbose": True,
+        "tpu": {"max_object_num": 12, "rel_table_size": 4,
+                "train_chunk": 2, "eval_chunk": 2, "use_pallas": False},
+    }
+    cfg_path = os.path.join(work, "rehearsal_stage0.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    rec = run_stage(
+        "train_stage0",
+        [sys.executable, "-m", "dfol_vqa_tpu.experiments.gqa_experiment",
+         cfg_path, "-c", "-s", "0"],
+        env=env, timeout=5400,
+    )
+    best_ckpt = os.path.join(run_dir, "rehearsal", "stage0", "best")
+    rec["outputs"] = [file_record(os.path.join(best_ckpt, f))
+                      for f in sorted(os.listdir(best_ckpt))]
+    report["stages"].append(rec)
+
+    # ---- stage 5: predict + submission JSON (-t -p -u -l best) -----------
+    # predict from the program JSON-lines dir (carries question ids; the H5
+    # rows are id-less by the reference's own encoding)
+    cfg["test_path"] = pp_out["test"]["json_dir"]
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    rec = run_stage(
+        "predict_submission",
+        [sys.executable, "-m", "dfol_vqa_tpu.experiments.gqa_experiment",
+         cfg_path, "-c", "-t", "-p", "-u", "-l", "best"],
+        env=env, timeout=5400,
+    )
+    pred_dir = os.path.join(run_dir, "predictions", "rehearsal", "stage0")
+    pred_files = [os.path.join(pred_dir, f) for f in sorted(os.listdir(pred_dir))]
+    rec["outputs"] = [file_record(p) for p in pred_files]
+    report["stages"].append(rec)
+
+    # ---- stage 6: submission format + accuracy asserts -------------------
+    with open(pred_files[0]) as f:
+        submission = json.load(f)
+    assert isinstance(submission, list) and submission, "submission must be a list"
+    for entry in submission:
+        assert set(entry.keys()) == {"questionId", "prediction"}, entry
+        assert isinstance(entry["questionId"], str) and entry["questionId"]
+        assert isinstance(entry["prediction"], str)
+    answers = fx["answers"]
+    exist_hits, exist_n, all_hits = 0, 0, 0
+    for entry in submission:
+        ok = answers.get(entry["questionId"]) == entry["prediction"]
+        all_hits += ok
+        if entry["questionId"].startswith("te"):
+            exist_n += 1
+            exist_hits += ok
+    exist_acc = exist_hits / max(exist_n, 1)
+    report["stages"].append({
+        "stage": "submission_check", "rc": 0,
+        "n_predictions": len(submission),
+        "exist_accuracy": round(exist_acc, 4),
+        "overall_accuracy": round(all_hits / len(submission), 4),
+    })
+    # the model trained only on the exist stage; gate on that family
+    assert exist_acc >= 0.6, f"stage-0 exist accuracy too low: {exist_acc}"
+
+    report["ok"] = True
+    report["total_seconds"] = round(time.time() - t_start, 1)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"ok": True, "out": args.out,
+                      "exist_accuracy": round(exist_acc, 4),
+                      "stages": [s["stage"] for s in report["stages"]],
+                      "total_seconds": report["total_seconds"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -178,3 +178,51 @@ def test_int8_transfer_with_trained_weights_on_planted_features(ontology):
     assert matches / n > 0.7, f"model failed to train (acc={matches/n})"
     assert agree == n, f"int8 flipped {n - agree}/{n} trained-model answers"
     assert prob_delta < 0.03, f"int8 prob delta {prob_delta} too large"
+
+
+@pytest.mark.slow
+def test_bf16_cache_answers_agree_with_f32(ontology):
+    """tpu.cache_dtype='bfloat16' stores the (U, O, V+1) attribute and
+    (B, R, O, O) relation caches in bf16 (halving the eval step's dominant
+    HBM traffic, BENCH r3 mfu_ladder); all fuzzy-logic arithmetic upcasts at
+    the gathers. Unlike rel_stream_dtype this rounds the stored values, so
+    answer-losslessness is pinned empirically: a fuzz sweep over every
+    terminal family must produce IDENTICAL answer flags, and log-probs must
+    agree to bf16 resolution."""
+    ALL_TERMINALS = [
+        "exist", "verify_attrs", "verify_rel", "query_attr", "choose_attr",
+        "choose_rel", "and", "or", "all_same", "all_different", "two_same",
+        "two_different", "compare",
+    ]
+
+    cfg32 = tiny_cfg(dropout=0.0)
+    cfg16 = tiny_cfg(dropout=0.0)
+    cfg16.tpu.cache_dtype = "bfloat16"
+    i32 = Interpreter(cfg32, ontology)
+    i16 = Interpreter(cfg16, ontology)
+    params = i32.init_params(jax.random.PRNGKey(1))
+
+    total = flips = 0
+    for terminal in ALL_TERMINALS:
+        for length in (1, 2):
+            qs = generate_questions(ontology, 24, terminal=terminal,
+                                    length=length, seed=11,
+                                    neg_prob=0.15, wildcard_prob=0.1)
+            loader = make_loader(ontology, cfg32, qs, batch_size=12, shuffle=False)
+            for batch in loader:
+                arrays = {k: jnp.asarray(v) for k, v in batch.arrays.items()}
+                obj, mask = jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask)
+                out32 = i32.forward(params, obj, mask, arrays, batch.spec, False, None)
+                out16 = i16.forward(params, obj, mask, arrays, batch.spec, False, None)
+                f32 = np.asarray(out32["answer_flags"])
+                f16 = np.asarray(out16["answer_flags"])
+                qm = np.asarray(batch.compiled.question_mask, bool)
+                flips += int(np.sum(f32[qm] != f16[qm]))
+                total += int(qm.sum())
+                np.testing.assert_allclose(
+                    np.exp(np.asarray(out32["log_probability"], np.float64)),
+                    np.exp(np.asarray(out16["log_probability"], np.float64)),
+                    atol=0.02,
+                )
+    assert total > 500
+    assert flips == 0, f"{flips}/{total} answer flags flipped under bf16 caches"

@@ -29,7 +29,7 @@ STEADY_ITERS = 30
 
 
 def build_batches(hops: int, seed: int = 0, use_pallas: bool = None,
-                  compute_dtype: str = None):
+                  compute_dtype: str = None, cache_dtype: str = None):
     import jax.numpy as jnp
 
     from dfol_vqa_tpu.compiler.program_compiler import ProgramCompiler
@@ -46,6 +46,8 @@ def build_batches(hops: int, seed: int = 0, use_pallas: bool = None,
         cfg.tpu.use_pallas = use_pallas
     if compute_dtype is not None:
         cfg.tpu.compute_dtype = compute_dtype
+    if cache_dtype is not None:
+        cfg.tpu.cache_dtype = cache_dtype
     ont = GQAOntology()
     interp = Interpreter(cfg, ont)
 
@@ -225,14 +227,24 @@ def measure_mfu_ladder(device_kind: str):
     peak = _peak_flops(device_kind)
     bw = _peak_bw(device_kind)
     rows = []
-    for batch, o_pad, k_small, k_big in (
-        (32, 24, 8, 512), (256, 24, 4, 128), (1024, 24, 2, 34),
-        (32, 100, 4, 128), (256, 100, 2, 34), (1024, 100, 1, 9),
+    # bf16-cache rows (r4): the eval step is HBM-bound (r3 ladder:
+    # achieved_frac_of_bw_bound ~= 1 at O=24), and its dominant traffic is
+    # the (U,O,V+1) attr + (B,R,O,O) rel likelihood caches — tpu.cache_dtype
+    # ="bfloat16" halves that stream (answer-lossless: a 13-terminal fuzz
+    # sweep in tests/test_bf16.py pins ZERO answer flips; fuzzy-logic math
+    # stays fp32, only HBM storage narrows). Measured at the saturating
+    # batch sizes where bandwidth, not dispatch, is the limiter.
+    for batch, o_pad, k_small, k_big, cache_dt in (
+        (32, 24, 8, 512, None), (256, 24, 4, 128, None), (1024, 24, 2, 34, None),
+        (32, 100, 4, 128, None), (256, 100, 2, 34, None), (1024, 100, 1, 9, None),
+        (1024, 24, 2, 34, "bfloat16"), (256, 100, 2, 34, "bfloat16"),
+        (1024, 100, 1, 9, "bfloat16"),
     ):
         BATCH, O_PAD, MIN_OBJ, MAX_OBJ = batch, o_pad, o_pad // 3, o_pad
         try:
             sec, flops, bytes_acc = measure_device(
-                hops=4, k_small=k_small, k_big=k_big, want_bytes=True
+                hops=4, k_small=k_small, k_big=k_big, want_bytes=True,
+                cache_dtype=cache_dt,
             )
         except Exception as e:
             rows.append({"batch": batch, "O": o_pad, "error": str(e)[:200]})
@@ -245,6 +257,8 @@ def measure_mfu_ladder(device_kind: str):
             "device_ms_per_batch": round(sec * 1e3, 3),
             "qps": round(batch / sec, 1),
         }
+        if cache_dt:
+            row["cache_dtype"] = cache_dt
         if flops:
             row["tflops_per_s"] = round(flops / sec / 1e12, 2)
             if peak:
@@ -272,7 +286,7 @@ def measure_mfu_ladder(device_kind: str):
 
 
 def measure_device(hops: int, use_pallas=None, k_small: int = 8, k_big: int = 512,
-                   compute_dtype=None, want_bytes: bool = False):
+                   compute_dtype=None, cache_dtype=None, want_bytes: bool = False):
     """Pure per-batch DEVICE time + XLA flop count for the eval step.
 
     A lax.scan executes the step k times SEQUENTIALLY on device (a tiny
@@ -289,7 +303,8 @@ def measure_device(hops: int, use_pallas=None, k_small: int = 8, k_big: int = 51
     from dfol_vqa_tpu.compiler.program_compiler import unpack_arrays
 
     interp, batches = build_batches(hops, use_pallas=use_pallas,
-                                    compute_dtype=compute_dtype)
+                                    compute_dtype=compute_dtype,
+                                    cache_dtype=cache_dtype)
     params = jax.device_put(interp.init_params(jax.random.PRNGKey(0)))
     spec, obj_np, mask_np, _, meta, packed_np = batches[0]
     obj = jax.device_put(obj_np.astype(np.float32))
@@ -736,6 +751,12 @@ def main():
         dev_sec_o100_bf16, _ = measure_device(
             hops=4, use_pallas=True, compute_dtype="bfloat16"
         )
+        # r4: bf16 HBM storage for the attr/rel caches (answer-lossless,
+        # tests/test_bf16.py fuzz sweep) — the recipe VERDICT r3 item 5 asked
+        # to measure; same batch 32 as dev_sec_o100 for r3 comparability
+        dev_sec_o100_cbf16, _ = measure_device(
+            hops=4, use_pallas=True, cache_dtype="bfloat16"
+        )
     finally:
         O_PAD, MIN_OBJ, MAX_OBJ = 24, 8, 24
     train_qps = float(np.median([measure_train(hops=2, batch=80) for _ in range(2)]))
@@ -804,8 +825,13 @@ def main():
         (r for r in mfu_ladder if r.get("O") == 24 and "qps" in r),
         key=lambda r: r["qps"], default=None,
     )
+    best100 = max(
+        (r for r in mfu_ladder if r.get("O") == 100 and "qps" in r),
+        key=lambda r: r["qps"], default=None,
+    )
     headline_qps = best24["qps"] if best24 else dev_qps_3hop
     headline_batch = best24["batch"] if best24 else BATCH
+    headline_cache = (best24 or {}).get("cache_dtype", "float32")
 
     result = {
         # Headline = per-chip DEVICE capability (scan-length differencing,
@@ -815,7 +841,8 @@ def main():
         # measures the tunnel's ~110 MB/s link, not the framework
         # (methodology_note).
         "metric": f"GQA eval questions/sec/chip, device time (exist 3-hop "
-                  f"relational, batch {headline_batch}, O=24, production dims)",
+                  f"relational, batch {headline_batch}, O=24, "
+                  f"cache_dtype={headline_cache}, production dims)",
         "value": round(headline_qps, 2),
         "unit": "questions/sec",
         # ADVICE r2: same-boundary ratio — our tunnel-streamed end-to-end
@@ -861,6 +888,8 @@ def main():
             "exist_3hop_O100_transfer": "int8 (answer-lossless, test_bf16.py)",
             "exist_3hop_O100_device_qps": round(BATCH / dev_sec_o100, 2),
             "exist_3hop_O100_device_bf16_qps": round(BATCH / dev_sec_o100_bf16, 2),
+            "exist_3hop_O100_device_cachebf16_qps": round(
+                BATCH / dev_sec_o100_cbf16, 2),
             "pallas_vs_xla": pallas_vs_xla,
             "serving": serving,
             "baseline_source": "BASELINE_MEASURED.json (reference PyTorch CPU)",
@@ -904,6 +933,8 @@ def main():
         "train_qps_chunked": result["train_qps_chunked"],
         "device_vs_baseline_e2e": result["extras"]["device_vs_baseline_e2e"],
         "o100_device_qps": result["extras"]["exist_3hop_O100_device_qps"],
+        "o100_device_qps_best": (best100 or {}).get("qps"),
+        "o100_best_cache_dtype": (best100 or {}).get("cache_dtype", "float32"),
         "mfu_ladder_best24_mfu": (best24 or {}).get("mfu"),
         "serving_qps": (serving or {}).get("closed_loop_qps"),
         "device_kind": device_kind,

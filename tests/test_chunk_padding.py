@@ -14,6 +14,7 @@ no-ops. These tests pin:
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -116,6 +117,7 @@ def test_padded_full_chunk_matches_unpadded(ontology):
         np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_padded_chunk_under_mesh_matches_single_device(ontology):
     """The n_valid-gated padded chunk step must produce the same losses and
     params under a virtual 8-device data mesh (shard_train_chunk padded=True)

@@ -48,6 +48,7 @@ def base_cfg(root):
     }
 
 
+@pytest.mark.slow
 def test_two_stage_curriculum(tmp_path, ontology):
     from dfol_vqa_tpu.experiments.gqa_experiment import main
     from dfol_vqa_tpu.train import checkpoint as ckpt

@@ -195,6 +195,7 @@ def test_visualize_image_render_uses_unique_image_rows(tmp_path, ontology):
     assert len(list(out.glob("*.png"))) == 4
 
 
+@pytest.mark.slow
 def test_cli_train_on_config_declared_mesh(tiny_setup, tmp_path):
     """End-to-end training driven by a YAML-declared (4,2) mesh with FSDP:
     the experiment builds the mesh, shards params, and trains + tests."""

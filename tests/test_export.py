@@ -46,6 +46,7 @@ def test_spec_meta_json_roundtrip(ontology, world):
     assert meta2 == lb.meta
 
 
+@pytest.mark.slow
 def test_exported_set_serves_without_tracing(ontology, world, tmp_path, monkeypatch):
     cfg = small_cfg()
     interp = Interpreter(cfg, ontology)

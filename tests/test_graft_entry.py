@@ -8,6 +8,9 @@ self-provision an 8-device virtual CPU mesh rather than erroring out.
 import os
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the quick tier
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

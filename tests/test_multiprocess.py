@@ -6,6 +6,9 @@ scripts/multiprocess_smoke.py)."""
 import os
 import subprocess
 import sys
+import pytest
+
+pytestmark = pytest.mark.slow  # excluded from the quick tier
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

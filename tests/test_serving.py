@@ -180,6 +180,7 @@ def test_row_padding_exact(ontology, world):
 
 
 @pytest.mark.parametrize("calibrated", [False, True])
+@pytest.mark.slow
 def test_engine_matches_direct_path(ontology, world, calibrated):
     """Engine answers == offline eval answers over all 13 families,
     with and without the attention-transfer calibrator (the production
@@ -208,6 +209,7 @@ def test_engine_matches_direct_path(ontology, world, calibrated):
     assert all(r.latency_ms > 0 for r in results)
 
 
+@pytest.mark.slow
 def test_executable_set_closed(ontology, world):
     """After warmup over a representative sample, arbitrary traffic with the
     same signatures mints ZERO new executables — queues are keyed by the
@@ -252,6 +254,7 @@ def test_batching_policy(ontology, world):
         eng.stop()
 
 
+@pytest.mark.slow
 def test_engine_on_mesh_matches_single_device(ontology, world):
     """Multi-chip serving: a (4,2) data×model mesh answers identically."""
     from dfol_vqa_tpu.parallel.mesh import make_mesh
@@ -365,6 +368,7 @@ def test_supervision_terminals_rejected(ontology, world):
                     "imageId": world.image_ids[0]})
 
 
+@pytest.mark.slow
 def test_parallel_warmup_matches_serial(ontology, world):
     """warmup(workers=8) compiles the SAME closed executable set as the
     serial pass (per-key jitted-fn creation is serialized behind

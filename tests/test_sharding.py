@@ -62,6 +62,7 @@ def test_data_sharded_forward_matches_single_device(ontology):
 
 
 @pytest.mark.parametrize("shape,axes", [((8,), ("data",)), ((4, 2), ("data", "model"))])
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_matches(ontology, shape, axes):
     cfg, interp, params, batch, arrays = _setup(ontology)
     tx = build_optimizer(cfg, params)
@@ -98,6 +99,7 @@ def test_sharded_train_step_runs_and_matches(ontology, shape, axes):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__
 
@@ -117,6 +119,7 @@ def test_host_sharded_loader_partitions_data(ontology):
     assert len(seen) == 40  # full cover, no overlap
 
 
+@pytest.mark.slow
 def test_two_d_mesh_inserts_collectives(ontology):
     """The (data, model) sharded step must actually communicate: its
     optimized HLO contains cross-device collectives (gradient psum over the
@@ -163,6 +166,7 @@ def test_compiler_rejects_mixed_terminal_batch(ontology):
         comp.compile(qs)
 
 
+@pytest.mark.slow
 def test_fsdp_sharded_train_step_matches_replicated(ontology):
     """fsdp=True (params sharded over data, ZeRO-3 analog) must produce the
     same loss and updated params as fully replicated execution."""

@@ -1,6 +1,7 @@
 """Shared-pair-code relation path == per-question path (image dedup)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -9,6 +10,7 @@ from dfol_vqa_tpu.models.interpreter import Interpreter
 from tests.test_pipeline_train import make_loader, tiny_cfg
 
 
+@pytest.mark.slow
 def test_shared_relation_cache_matches_per_question(ontology):
     cfg = tiny_cfg(dropout=0.0)
     interp = Interpreter(cfg, ontology)

@@ -30,6 +30,7 @@ def build(ontology, cfg, terminal, n=6, batch_size=6):
 
 
 @pytest.mark.parametrize("terminal", ["object_attr", "object_rel", "scene"])
+@pytest.mark.slow
 def test_supervision_forward_and_grads(ontology, terminal):
     cfg = tiny_cfg(dropout=0.0)
     interp = Interpreter(cfg, ontology)
@@ -85,6 +86,7 @@ def test_object_attr_closed_form(ontology):
     np.testing.assert_allclose(float(out["match"][0]), 2.0 / 3.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainer_loop_with_supervision(ontology):
     from dfol_vqa_tpu.train.trainer import VQATrainer
     from dfol_vqa_tpu.train.optim import build_optimizer

@@ -13,6 +13,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # excluded from the quick tier
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

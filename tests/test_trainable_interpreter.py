@@ -119,6 +119,7 @@ def test_forward_runs_all_terminals(ontology):
     assert {"exist", "verify_rel", "query_attr", "choose_rel", "compare"} <= seen
 
 
+@pytest.mark.slow
 def test_gradients_reach_operator_modules(ontology):
     cfg = _tiny_cfg(F=4)
     interp = Interpreter(cfg, ontology)
@@ -161,6 +162,7 @@ def test_gradients_reach_operator_modules(ontology):
     assert float(sum(jnp.sum(jnp.abs(x)) for x in gx)) > 0.0
 
 
+@pytest.mark.slow
 def test_identity_at_init(ontology):
     """F=4 at init reproduces the F=1 model EXACTLY (r4): the operator
     modules emit a zero residual delta at step 0, so the extra channels are
@@ -197,6 +199,7 @@ def test_identity_at_init(ontology):
         )
 
 
+@pytest.mark.slow
 def test_warm_start_from_f1_checkpoint(ontology, tmp_path):
     """A trained F=1 oracle checkpoint partial-restores into the F=4 model:
     shared subtrees (featurizer/attr/rel/embedding) transfer, the
@@ -264,6 +267,7 @@ def test_f2_relation_paths_agree(ontology):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainable_interpreter_learns(ontology):
     """Answer-only supervision still learns with the F=4 feature oracle +
     operator modules in the loop (the whole point of the mode)."""

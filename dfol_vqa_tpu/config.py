@@ -54,6 +54,21 @@ class TPUConfig:
     use_pallas: bool = True  # fused Pallas relation kernels (Mosaic); only
     # engaged when the backend is TPU — CPU always takes the XLA paths
     # (interpret-mode kernels would be a silent slowdown)
+    fused_pair_mlp: bool = True  # Mosaic path only: compute the O^2 pair
+    # MLP trunk in a Pallas kernel that keeps every hidden activation in
+    # VMEM (ops/pallas/pair_mlp.py) instead of round-tripping each
+    # (U, O_pad, O_pad, H) layer through HBM. Falls back to XLA when
+    # inter-layer dropout is active or compute_dtype != float32.
+    rel_contract_then_gather: bool = True  # shared-image relation path,
+    # XLA tail (small O / CPU): contract the per-unique-image pair code h2
+    # (U, O, O, E) against the RELATION sub-vocabulary (E, K~333) once,
+    # then gather the per-question (B, R, O, O) slices — instead of
+    # gathering h2 to (B, O, O, E) and contracting per question. Bytes go
+    # from ~2*B*O^2*E to ~2*U*O^2*K: at GQA's ~10 questions/image this is
+    # ~10x less relation-path HBM traffic at large batch (the r4 mfu_ladder
+    # O=24 batch>=256 droop). Same contraction (identical values; order of
+    # the E-reduction unchanged), so parity holds to float addition
+    # associativity. Disable to force the per-question formulation.
     train_chunk: int = 8  # same-bucket train steps fused into one device
     # dispatch (lax.scan); amortizes per-dispatch RPC on remote frontends
     # (~4x train throughput on the remote-TPU frontend, BENCH r1/r2). The

@@ -226,6 +226,20 @@ class Interpreter:
         return jnp.asarray(self._rel_idx_cache)
 
     @property
+    def _rel_gather_map(self):
+        """Static (cols, inv) pair for the contract-then-gather relation
+        path (oracle.rel_cache_shared): ``cols (K,)`` = 0-based embedding
+        columns of the relation vocabulary, ``inv (num_tokens,)`` maps any
+        0-based token column to its slot in ``cols`` (non-relations -> K,
+        the appended zero column). Host numpy, embedded as constants."""
+        if getattr(self, "_rel_gather_cache", None) is None:
+            cols = np.asarray(self.ont._relation_index, np.int32)
+            inv = np.full((self.ont.num_tokens,), len(cols), np.int32)
+            inv[cols] = np.arange(len(cols), dtype=np.int32)
+            self._rel_gather_cache = (cols, inv)
+        return self._rel_gather_cache
+
+    @property
     def embedding_matrix(self):
         """Whole-vocabulary GloVe matrix (V+1, D); used by the calibrator
         features (replaces per-batch meta_data['embedding']).
@@ -307,7 +321,7 @@ class Interpreter:
             if U * 2 <= B:
                 rel_ll = om.rel_cache_shared(
                     params, attr_in_u, pos_u, img_index, rel_tokens, cfg, r_rel,
-                    deterministic,
+                    deterministic, rel_gather=self._rel_gather_map,
                 )
             elif (
                 cfg.tpu.use_pallas and jax.default_backend() == "tpu"

@@ -422,6 +422,7 @@ def rel_cache_shared(
     rng=None,
     deterministic: bool = True,
     default_ll: float = DEFAULT_LOG_LIKELIHOOD,
+    rel_gather=None,
 ) -> jnp.ndarray:
     """Relation cache with the pair MLP computed once per UNIQUE image.
 
@@ -455,8 +456,6 @@ def rel_cache_shared(
         if O_pad != O:
             attr_in_u = jnp.pad(attr_in_u, ((0, 0), (0, O_pad - O), (0, 0)))
             pos_u = jnp.pad(pos_u, ((0, 0), (0, O_pad - O), (0, 0)))
-    geom = pair_geometry(pos_u)
-
     layers = rp["layers"]
     n = len(layers)
     rngs = (
@@ -467,19 +466,41 @@ def rel_cache_shared(
     x_obj = nn.dropout(attr_in_u, cfg.dropout, rngs[1], deterministic).astype(compute_dtype)
     h_s = jnp.dot(x, w_s.astype(compute_dtype), preferred_element_type=jnp.float32)
     h_o = jnp.dot(x_obj, w_o.astype(compute_dtype), preferred_element_type=jnp.float32)
-    h = (
-        h_s[:, :, None, :]
-        + h_o[:, None, :, :]
-        + jnp.einsum("uijg,gh->uijh", geom, w_g, preferred_element_type=jnp.float32)
-        + b0
+    # Fused pair-MLP kernel (ops/pallas/pair_mlp.py): keeps every hidden
+    # (U, O_pad, O_pad, H) activation in VMEM — on XLA each layer's
+    # activation round-trips HBM on a bandwidth-bound step. Engaged on the
+    # Mosaic path when no inter-layer dropout fires (input dropout above is
+    # outside the trunk either way) and the compute dtype is fp32 (the
+    # kernel's dots run at default MXU precision).
+    fuse_mlp = (
+        use_kernel
+        and cfg.tpu.fused_pair_mlp
+        and (deterministic or cfg.dropout == 0.0)
+        and compute_dtype == jnp.float32
     )
-    for i, lp in enumerate(layers[1:], start=1):
-        h = jax.nn.elu(h)
-        h = nn.dropout(h, cfg.dropout, rngs[i + 1], deterministic)
-        h = jnp.dot(
-            h.astype(compute_dtype), lp["w"].astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        ) + lp["b"]
+    if fuse_mlp:
+        from dfol_vqa_tpu.ops.pallas.pair_mlp import pair_mlp_fused
+
+        h2 = pair_mlp_fused(
+            pos_u, h_s, h_o, w_g, b0, layers[1:],
+            out_dtype=jnp.dtype(cfg.tpu.rel_stream_dtype),
+        )
+    else:
+        geom = pair_geometry(pos_u)
+        h = (
+            h_s[:, :, None, :]
+            + h_o[:, None, :, :]
+            + jnp.einsum("uijg,gh->uijh", geom, w_g, preferred_element_type=jnp.float32)
+            + b0
+        )
+        for i, lp in enumerate(layers[1:], start=1):
+            h = jax.nn.elu(h)
+            h = nn.dropout(h, cfg.dropout, rngs[i + 1], deterministic)
+            h = jnp.dot(
+                h.astype(compute_dtype), lp["w"].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            ) + lp["b"]
+        h2 = None  # sigmoid applied per-branch below
     if use_kernel:
         # fused gather+contract kernel: the per-question step below
         # materialises a (B, O, O, E) gather in HBM — ~30x the bytes of the
@@ -498,12 +519,17 @@ def rel_cache_shared(
         # The cast fuses into the sigmoid epilogue: h2 is materialised ONCE,
         # already padded and in the stream dtype (see the pad above).
         stream = jnp.dtype(cfg.tpu.rel_stream_dtype)
-        h2 = jax.nn.sigmoid(h).astype(stream)
+        if h2 is None:
+            h2 = jax.nn.sigmoid(h).astype(stream)
         tok0 = jnp.clip(rel_tokens - 1, 0)
         e_sel = jnp.take(emb_w.T, tok0, axis=0).astype(stream)
         b_sel = jnp.take(emb_b, tok0, axis=0)
+        # emit directly in the cache storage dtype: with bf16 caches the
+        # narrowing happens in the kernel epilogue instead of a separate
+        # full-tensor cast pass over (B, R, O_pad, O_pad)
         return shared_contract_pallas(
-            h2, img_index, e_sel, b_sel, rel_tokens, default_ll, valid_o=O
+            h2, img_index, e_sel, b_sel, rel_tokens, default_ll, valid_o=O,
+            out_dtype=jnp.dtype(cfg.tpu.cache_dtype),
         )
 
     h2 = jax.nn.sigmoid(h)  # (U, O, O, E) shared pair code
@@ -511,6 +537,52 @@ def rel_cache_shared(
     tok0 = jnp.clip(rel_tokens - 1, 0)
     e_sel = jnp.take(emb_w.T, tok0, axis=0)  # (B, R, E)
     b_sel = jnp.take(emb_b, tok0, axis=0)  # (B, R)
+
+    trainable = cfg.oracle_output_dim > 1 and "op_modules" in params
+    B = img_index.shape[0]
+    if (
+        rel_gather is not None
+        and cfg.tpu.rel_contract_then_gather
+        and not trainable
+        and U < B  # no image sharing -> the per-question form is cheaper
+    ):
+        # Contract-then-gather (see config.tpu.rel_contract_then_gather):
+        # project h2 once per unique image onto the relation SUB-vocabulary
+        # (columns from GQAOntology._relation_index — every token the
+        # compiler routes into a rel slot is a relation arg,
+        # program_compiler.py rel_slot_of), then gather each question's
+        # (O, O) plane. Identical E-contraction as the per-question einsum,
+        # ~(B*E)/(U*K) ~ 9x fewer HBM bytes at GQA question sharing.
+        # Out-of-relation-vocabulary tokens (impossible via the compiler;
+        # reachable only by hand-built batches) map to the appended zero
+        # column -> logsigmoid(b_sel), and pad slots are overwritten with
+        # default_ll below either way.
+        cols, inv = rel_gather
+        K = int(cols.shape[0])
+        emb_rel = jnp.concatenate(
+            [jnp.take(emb_w, jnp.asarray(cols), axis=1),
+             jnp.zeros((emb_w.shape[0], 1), emb_w.dtype)], axis=1,
+        )  # (E, K+1)
+        # Keep the pair axes FLATTENED to one O^2 lane dimension throughout:
+        # a (U, K, O, O) layout would put O~24 on the minor (lane) dim and
+        # pad it 128/O-fold physically (measured SLOWER than the
+        # per-question form at O=24); (U, K+1, O^2) tiles cleanly and the
+        # per-question gather emits (B, R, O^2) rows.
+        h2k = jnp.einsum(
+            "upe,ek->ukp",
+            h2.astype(compute_dtype).reshape(U, O * O, -1),
+            emb_rel.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )  # (U, K+1, O^2)
+        slot = jnp.take(jnp.asarray(inv), tok0)  # (B, R) in [0, K]
+        flat = img_index[:, None] * (K + 1) + slot
+        logits = (
+            jnp.take(h2k.reshape(U * (K + 1), O * O), flat, axis=0)
+            + b_sel[:, :, None]
+        )
+        ll = jax.nn.log_sigmoid(logits).reshape(-1, rel_tokens.shape[1], O, O)
+        pad_slot = (rel_tokens == 0)[:, :, None, None]
+        return jnp.where(pad_slot, default_ll, ll)
 
     h2_q = jnp.take(h2, img_index, axis=0)  # (B, O, O, E) gather view
     logits = (

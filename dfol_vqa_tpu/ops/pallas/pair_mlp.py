@@ -1,0 +1,196 @@
+"""Fused pair-MLP kernel: the O^2 relation trunk without HBM intermediates.
+
+``models/oracle.py rel_cache_shared`` computes the shared pair code
+
+    h   = h_s[:, :, None, :] + h_o[:, None, :, :] + geom @ w_g + b0
+    h2  = sigmoid(W_L(elu(...W_1(elu(h)))))          # (U, O, O, E)
+
+(reference relation MLP, classifier_oracle.py:97-137 applied per pair).
+On XLA every layer's (U, O_pad, O_pad, H) activation round-trips HBM:
+at B=256/O=100 production dims that is ~0.9 GB of pure intermediate
+traffic on a bandwidth-bound step (O100_DECOMPOSE r4). This kernel tiles
+the i (subject) axis and keeps the whole layer chain in VMEM — the only
+HBM writes are the final h2 tile, already in the stream dtype:
+
+    grid (U, nI): per step load h_s row band (TI, H), the resident
+    h_o (O_pad, H) and weights (unchanged blocks -> DMA skipped), and
+    four tiny (TI, O_pad) geometry planes; compute the full MLP chain on
+    the (TI * O_pad, H) band; store sigmoid(h) as (TI, O_pad, E) bf16.
+
+Geometry enters as four separate (U, O_pad, O_pad) planes — NOT the
+stacked (..., 4) tensor, whose 4-wide minor dim would pad to 128 lanes
+(32x the bytes) in a TPU layout; the planes are computed by XLA where
+they fuse into elementwise producers.
+
+Backward pass: custom VJP recomputes the chain with the plain-XLA
+formulation and differentiates that (rematerialisation — the kernel's
+win is eval-path bandwidth; training at these dims is dominated by the
+contraction backward anyway). Forward/backward parity with the XLA path
+is pinned by tests/test_pair_mlp_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+# double-buffered VMEM budget for the band activations (~16 MB/core total)
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def _elu(x):
+    # explicit ELU: Mosaic has no expm1 lowering (jax.nn.elu uses it); the
+    # exp(x) - 1 form differs from expm1 by <~1e-8 abs for x in (-1e-4, 0),
+    # inside the parity tolerances. min() keeps the untaken branch finite.
+    return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+
+
+def _mlp_chain(h, layer_ws, layer_bs):
+    """ELU -> Linear chain on a (N, H) band; fp32 accumulation."""
+    for w, b in zip(layer_ws, layer_bs):
+        h = _elu(h)
+        h = jax.lax.dot_general(
+            h, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b
+    return h
+
+
+def _kernel(*refs, n_layers: int):
+    (dist_ref, ang_ref, hs_side_ref, vs_side_ref,
+     hsub_ref, hobj_ref, wg_ref, b0_ref) = refs[:8]
+    layer_refs = refs[8:8 + 2 * n_layers]
+    out_ref = refs[8 + 2 * n_layers]
+
+    TI, OP = dist_ref.shape[1], dist_ref.shape[2]
+    H = hsub_ref.shape[2]
+    E = out_ref.shape[3]
+
+    wg = wg_ref[...]  # (4, H)
+    # geometry projection: four rank-1 broadcasts instead of a K=4 dot
+    h = (
+        dist_ref[0][:, :, None] * wg[0][None, None, :]
+        + ang_ref[0][:, :, None] * wg[1][None, None, :]
+        + hs_side_ref[0][:, :, None] * wg[2][None, None, :]
+        + vs_side_ref[0][:, :, None] * wg[3][None, None, :]
+    )
+    h = h + hsub_ref[0][:, None, :] + hobj_ref[0][None, :, :] + b0_ref[0][None, None, :]
+    h = h.reshape(TI * OP, H)
+    ws = [layer_refs[2 * i][...] for i in range(n_layers)]
+    bs = [layer_refs[2 * i + 1][0][None, :] for i in range(n_layers)]
+    h = _mlp_chain(h, ws, bs)
+    out_ref[0] = jax.nn.sigmoid(h).reshape(TI, OP, E).astype(out_ref.dtype)
+
+
+def _pair_mlp_xla(dist, ang, hside, vside, h_s, h_o, w_g, b0, layers):
+    """Reference XLA formulation (the VJP recompute target)."""
+    h = (
+        dist[..., None] * w_g[0]
+        + ang[..., None] * w_g[1]
+        + hside[..., None] * w_g[2]
+        + vside[..., None] * w_g[3]
+    )
+    h = h + h_s[:, :, None, :] + h_o[:, None, :, :] + b0
+    for lp in layers:
+        h = _elu(h)  # same formulation as the kernel (fwd/bwd consistency)
+        h = jnp.dot(h, lp["w"], preferred_element_type=jnp.float32) + lp["b"]
+    return jax.nn.sigmoid(h)
+
+
+def _run_fwd(static, dist, ang, hside, vside, h_s, h_o, w_g, b0, layers):
+    tile, out_dtype, interpret = static
+    U, OP, H = h_s.shape
+    E = layers[-1]["w"].shape[1] if layers else H
+    n_layers = len(layers)
+    nI = OP // tile
+
+    geom_spec = pl.BlockSpec((1, tile, OP), lambda u, i: (u, i, 0))
+    in_specs = [geom_spec, geom_spec, geom_spec, geom_spec,
+                pl.BlockSpec((1, tile, H), lambda u, i: (u, i, 0)),
+                pl.BlockSpec((1, OP, H), lambda u, i: (u, 0, 0)),
+                pl.BlockSpec((4, H), lambda u, i: (0, 0)),
+                pl.BlockSpec((1, H), lambda u, i: (0, 0))]
+    operands = [dist, ang, hside, vside, h_s, h_o, w_g, b0[None, :]]
+    for lp in layers:
+        hin, hout = lp["w"].shape
+        in_specs.append(pl.BlockSpec((hin, hout), lambda u, i: (0, 0)))
+        in_specs.append(pl.BlockSpec((1, hout), lambda u, i: (0, 0)))
+        operands.extend([lp["w"], lp["b"][None, :]])
+
+    return pl.pallas_call(
+        functools.partial(_kernel, n_layers=n_layers),
+        grid=(U, nI),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, OP, E), lambda u, i: (u, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((U, OP, OP, E), jnp.dtype(out_dtype)),
+        interpret=interpret,
+    )(*operands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _pair_mlp(static, dist, ang, hside, vside, h_s, h_o, w_g, b0, layers):
+    return _run_fwd(static, dist, ang, hside, vside, h_s, h_o, w_g, b0, layers)
+
+
+def _pm_fwd(static, dist, ang, hside, vside, h_s, h_o, w_g, b0, layers):
+    out = _run_fwd(static, dist, ang, hside, vside, h_s, h_o, w_g, b0, layers)
+    return out, (dist, ang, hside, vside, h_s, h_o, w_g, b0, layers)
+
+
+def _pm_bwd(static, res, g):
+    # rematerialise through the XLA formulation; cotangent dtypes follow
+    # the primals (the kernel's bf16 output rounds g, matching what a
+    # bf16-stored XLA h2 would backprop)
+    _, vjp = jax.vjp(_pair_mlp_xla, *res)
+    return vjp(g.astype(jnp.float32))
+
+
+_pair_mlp.defvjp(_pm_fwd, _pm_bwd)
+
+
+def pair_mlp_fused(
+    pos: jnp.ndarray,
+    h_s: jnp.ndarray,
+    h_o: jnp.ndarray,
+    w_g: jnp.ndarray,
+    b0: jnp.ndarray,
+    layers: Sequence[Dict[str, Any]],
+    out_dtype: Any = jnp.bfloat16,
+    tile: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(U, O_pad, H) projections + (U, O_pad, 4) boxes -> (U, O_pad, O_pad, E).
+
+    Drop-in for the padded pair-MLP trunk of ``rel_cache_shared`` (first
+    layer pre-split into ``h_s = x @ w_s``, ``h_o = x @ w_o``; see
+    ``oracle._first_layer_split``). ``pos`` rows beyond the true O are
+    pad boxes — their h2 values are garbage either way and are masked by
+    the executor. O_pad must be a multiple of 128 (callers pad before
+    the projections, as the contract kernel already requires).
+    """
+    from dfol_vqa_tpu.models.featurizer import pair_geometry
+
+    U, OP, H = h_s.shape
+    if OP % 128 != 0:
+        raise ValueError(f"pair_mlp_fused needs O padded to 128, got {OP}")
+    geom = pair_geometry(pos)  # (U, OP, OP, 4); XLA fuses the planes below
+    dist, ang = geom[..., 0], geom[..., 1]
+    hside, vside = geom[..., 2], geom[..., 3]
+
+    layers = list(layers)
+    if tile <= 0:
+        # largest power-of-two row band whose double-buffered activations
+        # (band x H fp32 through the chain, plus the E-wide output tile)
+        # fit the VMEM budget
+        widths = [H] + [lp["w"].shape[1] for lp in layers]
+        bytes_per_row = OP * (4 * sum(widths[-2:]) + 2 * widths[-1])
+        tile = 8
+        while tile < 64 and 2 * (2 * tile) * bytes_per_row <= _VMEM_BUDGET_BYTES:
+            tile *= 2
+        tile = min(tile, OP)
+    return _pair_mlp((tile, jnp.dtype(out_dtype), interpret),
+                     dist, ang, hside, vside, h_s, h_o, w_g, b0, layers)

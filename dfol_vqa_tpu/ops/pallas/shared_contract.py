@@ -56,11 +56,11 @@ def _contract_kernel(idx_ref, h2_ref, esel_ref, bsel_ref, padm_ref, out_ref,
     ) + bsel_ref[0, 0][:, None]
     ll = jax.nn.log_sigmoid(logits)
     ll = jnp.where(padm_ref[0, 0][:, None] > 0, default_ll, ll)
-    out_ref[0] = ll.reshape(R, TI, OP)
+    out_ref[0] = ll.reshape(R, TI, OP).astype(out_ref.dtype)
 
 
 def _run_fwd(static, h2_u, img_index, e_sel, b_sel, pad_mask):
-    tile, default_ll, interpret = static
+    tile, default_ll, interpret, out_dtype = static
     U, O_pad, _, E = h2_u.shape
     B, R, _ = e_sel.shape
     nI = O_pad // tile
@@ -81,7 +81,7 @@ def _run_fwd(static, h2_u, img_index, e_sel, b_sel, pad_mask):
     )
     return pl.pallas_call(
         functools.partial(_contract_kernel, default_ll=default_ll),
-        out_shape=jax.ShapeDtypeStruct((B, R, O_pad, O_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, R, O_pad, O_pad), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(img_index, h2_u, e_sel, b_sel[:, None, :], pad_mask[:, None, :])
@@ -102,7 +102,10 @@ def _gc_bwd(static, res, g):
     h2_u, img_index, e_sel, out, pad_mask = res
     U = h2_u.shape[0]
     live = (pad_mask == 0).astype(jnp.float32)[:, :, None, None]
-    dlogits = g * (1.0 - jnp.exp(out)) * live  # (B, R, O, O)
+    # out may be stored narrow (cache dtype); the algebra stays fp32
+    dlogits = (
+        g.astype(jnp.float32) * (1.0 - jnp.exp(out.astype(jnp.float32))) * live
+    )  # (B, R, O, O)
 
     onehot = (img_index[None, :] == jnp.arange(U)[:, None]).astype(jnp.float32)
 
@@ -136,6 +139,7 @@ def shared_contract_pallas(
     tile: int = 0,
     interpret: bool = False,
     valid_o: int = 0,
+    out_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """(U, O, O, E) pair code + (B,) image map -> (B, R, O, O) likelihoods.
 
@@ -168,7 +172,7 @@ def shared_contract_pallas(
         h2_u = jnp.pad(h2_u, ((0, 0), (0, O_pad - O), (0, O_pad - O), (0, 0)))
     pad_mask = (rel_tokens == 0).astype(jnp.float32)
     out = _gather_contract(
-        (tile, default_ll, interpret),
+        (tile, default_ll, interpret, jnp.dtype(out_dtype)),
         h2_u, img_index.astype(jnp.int32), e_sel, b_sel, pad_mask,
     )
     return out[:, :, :out_o, :out_o]

@@ -74,9 +74,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=B)
     ap.add_argument("--objects", type=int, default=O)
+    ap.add_argument("--k-small", type=int, default=4)
+    ap.add_argument("--k-big", type=int, default=64)
     ap.add_argument("--json", default=os.path.join(REPO, "O100_DECOMPOSE.json"))
     cli = ap.parse_args()
     B, O = cli.batch, cli.objects
+    ks, kb = cli.k_small, cli.k_big
 
     import jax
     import jax.numpy as jnp
@@ -90,7 +93,7 @@ def main():
     bench.BATCH, bench.O_PAD, bench.MIN_OBJ, bench.MAX_OBJ = B, O, min(30, O), O
 
     # (a) full model
-    sec_full, _ = bench.measure_device(hops=4, k_small=4, k_big=64)
+    sec_full, _ = bench.measure_device(hops=4, k_small=ks, k_big=kb)
 
     interp, batches = bench.build_batches(4)
     cfg = interp.cfg
@@ -109,7 +112,7 @@ def main():
                                   rel_tokens, cfg)
         return jnp.sum(out) * 1e-30 + carry * 0.5
 
-    sec_cache = diff_time(rel_cache_fn, (params, attr_in_u, pos_u, img_index, rel_tokens))
+    sec_cache = diff_time(rel_cache_fn, (params, attr_in_u, pos_u, img_index, rel_tokens), ks, kb)
 
     # (c) pair MLP only (the h2 compute, up to sigmoid)
     def pair_mlp_fn(params, attr_in_u, pos_u, carry):
@@ -134,7 +137,7 @@ def main():
         h2 = jax.nn.sigmoid(h)
         return jnp.sum(h2) * 1e-30 + carry * 0.5
 
-    sec_mlp = diff_time(pair_mlp_fn, (params, attr_in_u, pos_u))
+    sec_mlp = diff_time(pair_mlp_fn, (params, attr_in_u, pos_u), ks, kb)
 
     # (d) kernel alone on a precomputed h2
     E = cfg.embedding_input_dim
@@ -148,7 +151,7 @@ def main():
                                      rel_tokens, om.DEFAULT_LOG_LIKELIHOOD)
         return jnp.sum(out) * 1e-30 + carry * 0.5
 
-    sec_kernel = diff_time(kernel_fn, (h2, img_index, e_sel, b_sel, rel_tokens))
+    sec_kernel = diff_time(kernel_fn, (h2, img_index, e_sel, b_sel, rel_tokens), ks, kb)
 
     # (e) relate_update consuming the (B, R, O, O) cache
     ll = jnp.asarray(rng.uniform(-3, 0, (B, R, O, O)).astype(np.float32))
@@ -160,7 +163,7 @@ def main():
         s, o = relate_update(att + carry * 0, att, ll, q, q, mask)
         return jnp.sum(s) * 1e-30 + carry * 0.5
 
-    sec_relate = diff_time(relate_fn, (ll, att, q, mask))
+    sec_relate = diff_time(relate_fn, (ll, att, q, mask), ks, kb)
 
     out = dict(
         device=jax.devices()[0].device_kind,

@@ -16,6 +16,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite is jit-compile-bound (hundreds
+# of small executables; ~12 min cold on this 1-core host), and the cache is
+# keyed by HLO+jaxlib version so warm reruns skip straight to execution.
+# Kept out of git (.gitignore); delete the dir to force a cold run.
+_cache_dir = os.environ.get(
+    "DFOL_TEST_JIT_CACHE",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".pytest_jit_cache"),
+)
+if _cache_dir != "0":
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np
 import pytest
 

@@ -10,6 +10,52 @@ from dfol_vqa_tpu.models.interpreter import Interpreter
 from tests.test_pipeline_train import make_loader, tiny_cfg
 
 
+def test_contract_then_gather_matches_per_question_form(ontology):
+    """rel_cache_shared's contract-then-gather tail == the gather-then-
+    contract form: same E-contraction, so agreement to float tolerance."""
+    from dfol_vqa_tpu.config import Config
+    from dfol_vqa_tpu.models import oracle as om
+
+    cfg = Config()
+    cfg.dropout = 0.0
+    cfg.tpu.use_pallas = False
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(7)
+    U, B, O, R = 3, 12, 6, 4
+    attr_in_u = jnp.asarray(rng.standard_normal((U, O, cfg.attr_input_dim)), jnp.float32)
+    pos_u = jnp.asarray(rng.uniform(0.1, 0.9, (U, O, 4)), jnp.float32)
+    img_index = jnp.asarray(rng.integers(0, U, (B,)), jnp.int32)
+    rel_cols = np.asarray(ontology._relation_index, np.int32)
+    toks = rng.choice(rel_cols, (B, R)) + 1  # 1-based relation codes
+    toks[0, 0] = 0  # a pad slot -> default_ll in both forms
+    rel_tokens = jnp.asarray(toks, jnp.int32)
+
+    ll_ctg = om.rel_cache_shared(
+        params, attr_in_u, pos_u, img_index, rel_tokens, cfg,
+        rel_gather=interp._rel_gather_map,
+    )
+    cfg.tpu.rel_contract_then_gather = False
+    ll_pq = om.rel_cache_shared(
+        params, attr_in_u, pos_u, img_index, rel_tokens, cfg,
+        rel_gather=interp._rel_gather_map,
+    )
+    cfg.tpu.rel_contract_then_gather = True
+    assert ll_ctg.shape == (B, R, O, O)
+    np.testing.assert_allclose(np.asarray(ll_ctg), np.asarray(ll_pq),
+                               rtol=1e-5, atol=1e-6)
+    # gradients flow through the gather formulation
+    def s(p):
+        return jnp.sum(om.rel_cache_shared(
+            p, attr_in_u, pos_u, img_index, rel_tokens, cfg,
+            rel_gather=interp._rel_gather_map,
+        ))
+
+    g = jax.grad(s)(params)
+    gn = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gn) and gn > 0
+
+
 @pytest.mark.slow
 def test_shared_relation_cache_matches_per_question(ontology):
     cfg = tiny_cfg(dropout=0.0)

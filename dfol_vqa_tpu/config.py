@@ -106,6 +106,13 @@ class TPUConfig:
     checkpoint_backend: str = "npz"  # "npz" (single atomic file) or "orbax"
     # (directory; async/multi-host-friendly — each host writes only its
     # addressable shards); load() auto-detects either format
+    debug_checks: bool = False  # opt-in loud-failure guards for invariants
+    # the compiler guarantees but hand-built batches can violate; currently:
+    # the contract-then-gather relation path NaN-poisons any non-pad
+    # rel_token outside the relation sub-vocabulary (which would otherwise
+    # silently score as logsigmoid(bias) instead of the per-question path's
+    # real-embedding contraction — see models/oracle.py). Off in
+    # production: the check adds a select over the (B, R, O^2) result.
 
 
 @dataclass

@@ -582,6 +582,13 @@ def rel_cache_shared(
         )
         ll = jax.nn.log_sigmoid(logits).reshape(-1, rel_tokens.shape[1], O, O)
         pad_slot = (rel_tokens == 0)[:, :, None, None]
+        if cfg.tpu.debug_checks:
+            # loud failure for hand-built batches: a non-pad token outside
+            # the relation sub-vocabulary (slot == K, the zero column) would
+            # silently diverge from the per-question formulation — poison it
+            # so downstream metrics/assertions trip instead
+            bad = ((slot == K) & (rel_tokens != 0))[:, :, None, None]
+            ll = jnp.where(bad, jnp.nan, ll)
         return jnp.where(pad_slot, default_ll, ll)
 
     h2_q = jnp.take(h2, img_index, axis=0)  # (B, O, O, E) gather view

@@ -25,8 +25,14 @@ they fuse into elementwise producers.
 Backward pass: custom VJP recomputes the chain with the plain-XLA
 formulation and differentiates that (rematerialisation — the kernel's
 win is eval-path bandwidth; training at these dims is dominated by the
-contraction backward anyway). Forward/backward parity with the XLA path
-is pinned by tests/test_pair_mlp_kernel.py.
+contraction backward anyway). Forward/backward use the same function up
+to dot-operand dtype: on TPU the XLA recompute's default-precision f32
+dots round operands to bf16 on the MXU — exactly what the kernel does
+explicitly — so fwd and bwd agree on-chip; in interpret mode both sides
+run true-f32 dots and agree exactly. CPU parity with the XLA path is
+pinned by tests/test_pair_mlp_kernel.py; the on-chip fused-vs-XLA
+identity at production dims is pinned by scripts/tpu_hw_evidence.py
+(TPU_HW artifact, pair_mlp leg).
 """
 
 from __future__ import annotations
@@ -49,25 +55,32 @@ def _elu(x):
     return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
 
 
-def _mlp_chain(h, layer_ws, layer_bs):
+def _mlp_chain(h, layer_ws, layer_bs, *, bf16_dots: bool):
     """ELU -> Linear chain on a (N, H) band; fp32 accumulation.
 
-    Dot OPERANDS are cast to bf16 explicitly: JAX's DEFAULT matmul
-    precision on TPU rounds f32 operands to one bf16 MXU pass anyway (the
-    basis of the rel_stream_dtype bit-identity claim, config.py), but
-    Mosaic's f32 dot_general does not — measured 38 TF/s vs the bf16
-    single-pass rate. fp32 accumulation is unchanged."""
+    On the real Mosaic path dot OPERANDS are cast to bf16 explicitly:
+    JAX's DEFAULT matmul precision on TPU rounds f32 operands to one bf16
+    MXU pass anyway (the basis of the rel_stream_dtype bit-identity
+    claim, config.py), but Mosaic's f32 dot_general does not — measured
+    38 TF/s vs the bf16 single-pass rate. So on-chip the cast changes
+    bytes, not bits, relative to the XLA tail. In interpret mode (CPU
+    tests) there is no MXU and the XLA reference really does true-f32
+    dots, so the cast is SKIPPED there — interpret==XLA holds to 1e-6 and
+    the on-chip bf16-operand identity is pinned separately on real
+    hardware (scripts/tpu_hw_evidence.py, TPU_HW artifact). fp32
+    accumulation is unchanged on both paths."""
+    dot_dtype = jnp.bfloat16 if bf16_dots else h.dtype
     for w, b in zip(layer_ws, layer_bs):
         h = _elu(h)
         h = jax.lax.dot_general(
-            h.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            h.astype(dot_dtype), w.astype(dot_dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b
     return h
 
 
-def _kernel(*refs, n_layers: int):
+def _kernel(*refs, n_layers: int, bf16_dots: bool):
     (dist_ref, ang_ref, hs_side_ref, vs_side_ref,
      hsub_ref, hobj_ref, wg_ref, b0_ref) = refs[:8]
     layer_refs = refs[8:8 + 2 * n_layers]
@@ -89,7 +102,7 @@ def _kernel(*refs, n_layers: int):
     h = h.reshape(TI * OP, H)
     ws = [layer_refs[2 * i][...] for i in range(n_layers)]
     bs = [layer_refs[2 * i + 1][0][None, :] for i in range(n_layers)]
-    h = _mlp_chain(h, ws, bs)
+    h = _mlp_chain(h, ws, bs, bf16_dots=bf16_dots)
     out_ref[0] = jax.nn.sigmoid(h).reshape(TI, OP, E).astype(out_ref.dtype)
 
 
@@ -129,7 +142,8 @@ def _run_fwd(static, dist, ang, hside, vside, h_s, h_o, w_g, b0, layers):
         operands.extend([lp["w"], lp["b"][None, :]])
 
     return pl.pallas_call(
-        functools.partial(_kernel, n_layers=n_layers),
+        # bf16 dot operands only on the real Mosaic path (see _mlp_chain)
+        functools.partial(_kernel, n_layers=n_layers, bf16_dots=not interpret),
         grid=(U, nI),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile, OP, E), lambda u, i: (u, i, 0, 0)),
@@ -191,10 +205,17 @@ def pair_mlp_fused(
     layers = list(layers)
     if tile <= 0:
         # largest power-of-two row band whose double-buffered activations
-        # (band x H fp32 through the chain, plus the E-wide output tile)
-        # fit the VMEM budget
+        # fit the VMEM budget. The live band at any point in the chain is
+        # one consecutive (in, out) layer pair of fp32 activations, so
+        # size against the WORST pair across the whole chain (not just the
+        # last two widths — a wide early hidden layer must bound the tile
+        # too), plus the output tile in the stream dtype.
         widths = [H] + [lp["w"].shape[1] for lp in layers]
-        bytes_per_row = OP * (4 * sum(widths[-2:]) + 2 * widths[-1])
+        worst_pair = max(
+            (widths[i] + widths[i + 1] for i in range(len(widths) - 1)),
+            default=widths[0],
+        )
+        bytes_per_row = OP * (4 * worst_pair + 2 * widths[-1])
         tile = 8
         while tile < 64 and 2 * (2 * tile) * bytes_per_row <= _VMEM_BUDGET_BYTES:
             tile *= 2

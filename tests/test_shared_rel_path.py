@@ -89,3 +89,43 @@ def test_shared_relation_cache_matches_per_question(ontology):
     g = jax.grad(loss)(params)
     total = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_debug_checks_poisons_out_of_vocab_rel_tokens(ontology):
+    """With tpu.debug_checks, a hand-built batch whose rel slot carries a
+    non-relation token fails loudly (NaN) in the contract-then-gather path
+    instead of silently scoring logsigmoid(bias)."""
+    from dfol_vqa_tpu.config import Config
+    from dfol_vqa_tpu.models import oracle as om
+
+    cfg = Config()
+    cfg.dropout = 0.0
+    cfg.tpu.use_pallas = False
+    cfg.tpu.debug_checks = True
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(11)
+    U, B, O, R = 2, 6, 5, 3
+    attr_in_u = jnp.asarray(rng.standard_normal((U, O, cfg.attr_input_dim)), jnp.float32)
+    pos_u = jnp.asarray(rng.uniform(0.1, 0.9, (U, O, 4)), jnp.float32)
+    img_index = jnp.asarray(rng.integers(0, U, (B,)), jnp.int32)
+    rel_cols = set(int(c) for c in np.asarray(ontology._relation_index))
+    toks = rng.choice(np.asarray(sorted(rel_cols), np.int32), (B, R)) + 1
+    # a NOUN token (not in the relation sub-vocabulary) in a rel slot
+    noun_code = next(
+        c for c in range(1, 2336) if (c - 1) not in rel_cols
+    )
+    toks[1, 2] = noun_code
+    toks[0, 0] = 0  # pad slots stay default_ll, never poisoned
+    rel_tokens = jnp.asarray(toks, jnp.int32)
+
+    ll = om.rel_cache_shared(
+        params, attr_in_u, pos_u, img_index, rel_tokens, cfg,
+        rel_gather=interp._rel_gather_map,
+    )
+    out = np.array(ll)  # writable copy
+    assert np.isnan(out[1, 2]).all()  # the bad slot is poisoned
+    out[1, 2] = 0.0
+    assert np.isfinite(out).all()  # everything else untouched
+    # pad slot carries default_ll, not NaN
+    assert np.allclose(out[0, 0], om.DEFAULT_LOG_LIKELIHOOD)

@@ -38,7 +38,7 @@ class TPUConfig:
     # Set "float32" when running under jax.default_matmul_precision-style
     # full-precision overrides.
     cache_dtype: str = "float32"  # HBM storage dtype of the oracle's
-    # likelihood CACHES: the (U, O, V+1) attribute cache and the
+    # likelihood CACHES: the (U, V+1, O) attribute cache and the
     # (B, R, O, O) relation cache — the two largest eval-step HBM writers
     # (the step is bandwidth-bound, BENCH r3 mfu_ladder). "bfloat16" halves
     # that traffic; every consumer gathers then upcasts, so all fuzzy-logic

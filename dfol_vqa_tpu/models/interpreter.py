@@ -103,25 +103,27 @@ def _apply_negation_exact(ll: jnp.ndarray, neg: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gather_attr(world: World, tok: jnp.ndarray) -> jnp.ndarray:
-    """attr_ll (U, O, V+1) + img_index, tok (B,) signed -> (B, O), negation
-    applied (batch_base_ops.py:212-213). One fused gather — the per-unique
-    attribute cache is addressed by (image row, object, |token| column)."""
-    O = world.attr_ll.shape[1]
-    o_iota = jnp.arange(O, dtype=jnp.int32)
-    ll = world.attr_ll[
-        world.img_index[:, None], o_iota[None, :], jnp.abs(tok)[:, None]
-    ].astype(jnp.float32)
+    """attr_ll (U, V+1, O) + img_index, tok (B,) signed -> (B, O), negation
+    applied (batch_base_ops.py:212-213). The vocab-major layout makes this
+    ONE contiguous (O,)-row gather per question — flattening (U, V+1) to a
+    single row axis lowers to a plain dynamic row fetch (~40x faster than
+    the element gathers the object-major layout needed; o100_experiments4)."""
+    U, Vp1, O = world.attr_ll.shape
+    flat = world.img_index * Vp1 + jnp.abs(tok)
+    ll = jnp.take(world.attr_ll.reshape(U * Vp1, O), flat, axis=0).astype(
+        jnp.float32
+    )
     return _apply_negation_exact(ll, (tok < 0).astype(ll.dtype))
 
 
 def _gather_attr_options(world: World, toks: jnp.ndarray) -> jnp.ndarray:
-    """attr_ll (U, O, V+1) + img_index, toks (B, K) signed -> (B, K, O) raw
-    (sign NOT applied)."""
-    O = world.attr_ll.shape[1]
-    o_iota = jnp.arange(O, dtype=jnp.int32)
-    return world.attr_ll[
-        world.img_index[:, None, None], o_iota[None, None, :], jnp.abs(toks)[:, :, None]
-    ].astype(jnp.float32)
+    """attr_ll (U, V+1, O) + img_index, toks (B, K) signed -> (B, K, O) raw
+    (sign NOT applied). Same flattened row-gather as _gather_attr."""
+    U, Vp1, O = world.attr_ll.shape
+    flat = world.img_index[:, None] * Vp1 + jnp.abs(toks)
+    return jnp.take(world.attr_ll.reshape(U * Vp1, O), flat, axis=0).astype(
+        jnp.float32
+    )
 
 
 def _apply_option_negation(ll: jnp.ndarray, toks: jnp.ndarray) -> jnp.ndarray:
@@ -653,8 +655,11 @@ class Interpreter:
             # batch_gqa_ops.py:888-899 / compute_all_log_likelihood)
             from dfol_vqa_tpu.models.oracle import rel_scores_for_pairs
 
-            attr_lp = jnp.take(world.attr_ll, self._attr_index_arr + 1, axis=2)
+            # vocab-major cache: take the attribute rows then transpose the
+            # small (A, O) planes back to the supervision's (O, A) layout
+            attr_lp = jnp.take(world.attr_ll, self._attr_index_arr + 1, axis=1)
             attr_lp = jnp.take(attr_lp, world.img_index, axis=0).astype(jnp.float32)
+            attr_lp = jnp.swapaxes(attr_lp, 1, 2)  # (B, O, A)
             rel_lp = rel_scores_for_pairs(
                 params, world.attr_in, world.pos, arrays["pair_idx"], cfg,
                 rel_cols=self._rel_index_arr,

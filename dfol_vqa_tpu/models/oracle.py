@@ -203,15 +203,21 @@ def attr_cache(
     deterministic: bool = True,
     default_ll: float = DEFAULT_LOG_LIKELIHOOD,
 ) -> jnp.ndarray:
-    """attr_in (B, O, D+4) -> (B, O, V+1) log-likelihoods.
+    """attr_in (B, O, D+4) -> (B, V+1, O) log-likelihoods (vocab-major).
 
-    Column v (1-based token code) = logsigmoid(<emb_w[:, v-1], h> + b[v-1])
-    (classifier_oracle.py:44-82 without the sparse scatter); column 0 holds
+    Row v (1-based token code) = logsigmoid(<emb_w[:, v-1], h> + b[v-1])
+    (classifier_oracle.py:44-82 without the sparse scatter); row 0 holds
     ``default_ll`` so code-0 gathers return the reference default.
+
+    VOCAB-MAJOR layout (see types.py World.attr_ll): the executor fetches
+    per-token (O,) rows, so the token axis must be the gather-major axis.
+    The transpose fuses into the cache-producing matmul's epilogue; the
+    win is every downstream gather (scripts/o100_experiments4.py: 0.083 ms
+    -> 0.002 ms per lookup at O=128, 1.05 ms -> ~0 for option fan-outs).
 
     With ``oracle_output_dim > 1`` the head emits F logit channels per
     concept and the arity-1 operator module reduces them (trainable
-    interpreter, see module note) — the cache stays (B, O, V+1) scalars.
+    interpreter, see module note) — the cache stays (B, V+1, O) scalars.
     """
     trainable = cfg.oracle_output_dim > 1 and "op_modules" in params
     r_trunk, r_mod = (
@@ -250,9 +256,10 @@ def attr_cache(
         )
     else:
         ll = jax.nn.log_sigmoid(logits)
-    B, O, _ = ll.shape
-    pad = jnp.full((B, O, 1), default_ll, ll.dtype)
-    return jnp.concatenate([pad, ll], axis=-1)
+    ll = jnp.moveaxis(ll, -1, 1)  # (B, V, O) vocab-major
+    B, _, O = ll.shape
+    pad = jnp.full((B, 1, O), default_ll, ll.dtype)
+    return jnp.concatenate([pad, ll], axis=1)
 
 
 # ------------------------------------------------------------------ relations
@@ -697,8 +704,8 @@ def full_caches(
 ):
     """compute_all_log_likelihood analog (classifier_oracle.py:139-156).
 
-    Returns (attr (B,O,V+1), rel (B,V_rel,O,O)) — the full relation head over
-    ``relation_index`` columns (R-major rel layout, see types.py)."""
+    Returns (attr (B,V+1,O) vocab-major, rel (B,V_rel,O,O)) — the full
+    relation head over ``relation_index`` columns (layouts per types.py)."""
     a = attr_cache(params, attr_in, cfg)
     rel_idx = jnp.asarray(relation_index)
     B = attr_in.shape[0]
@@ -714,7 +721,8 @@ def static_attr_cache(
     ll_table: np.ndarray, default_ll: float = DEFAULT_LOG_LIKELIHOOD
 ) -> jnp.ndarray:
     """StaticOracle analog (base_oracle.py:79-93): a (B, O, V) lookup table
-    becomes a (B, O, V+1) cache with the default column prepended."""
+    becomes a (B, V+1, O) vocab-major cache with the default row prepended."""
     B, O, _ = ll_table.shape
-    pad = np.full((B, O, 1), default_ll, np.float32)
-    return jnp.asarray(np.concatenate([pad, ll_table], axis=-1))
+    t = np.moveaxis(ll_table, 1, 2)  # (B, V, O)
+    pad = np.full((B, 1, O), default_ll, np.float32)
+    return jnp.asarray(np.concatenate([pad, t], axis=1))

@@ -71,7 +71,13 @@ class World:
     """
 
     obj_mask: jnp.ndarray  # (B, O) float {0,1} per QUESTION
-    attr_ll: jnp.ndarray  # (U, O, V+1) per UNIQUE image; col 0 = default ll
+    attr_ll: jnp.ndarray  # (U, V+1, O) per UNIQUE image; row 0 = default ll.
+    # VOCAB-MAJOR layout (r5): executor lookups address whole (img, token)
+    # rows, so a token fetch is ONE contiguous (O,)-row gather — measured
+    # ~40x faster on TPU than the object-major (U, O, V+1) layout, whose
+    # per-(object, token) element gathers dominated the O=100 executor
+    # (scripts/o100_experiments4.py). The O minor dim sits on the 128-lane
+    # axis, shared with every downstream attention tensor.
     rel_ll: jnp.ndarray  # (B, R, O, O): per-question relation-table cache
     # (R-major so the (O, O) minor dims sit on full TPU (8,128) tiles)
     rel_tokens: jnp.ndarray  # (B, R) int32 unsigned token codes (0 = pad)

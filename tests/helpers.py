@@ -37,11 +37,11 @@ def static_world(
     (base_oracle.py:79-93)."""
     B = len(counts)
     V = ontology.num_tokens
-    attr_ll = np.full((B, O, V + 1), default_ll, np.float32)
+    attr_ll = np.full((B, V + 1, O), default_ll, np.float32)  # vocab-major
     for b, table in enumerate(attr_tables):
         for tok, vals in table.items():
             code = ontology.encode_token(tok)
-            attr_ll[b, :, code] = vals
+            attr_ll[b, code, :] = vals
     R = rel_tokens.shape[1]
     rel_ll = np.full((B, R, O, O), default_ll, np.float32)  # R-major (types.py)
     for b, table in enumerate(rel_tables):

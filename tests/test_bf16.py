@@ -182,7 +182,7 @@ def test_int8_transfer_with_trained_weights_on_planted_features(ontology):
 
 @pytest.mark.slow
 def test_bf16_cache_answers_agree_with_f32(ontology):
-    """tpu.cache_dtype='bfloat16' stores the (U, O, V+1) attribute and
+    """tpu.cache_dtype='bfloat16' stores the (U, V+1, O) attribute and
     (B, R, O, O) relation caches in bf16 (halving the eval step's dominant
     HBM traffic, BENCH r3 mfu_ladder); all fuzzy-logic arithmetic upcasts at
     the gathers. Unlike rel_stream_dtype this rounds the stored values, so

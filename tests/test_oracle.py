@@ -48,8 +48,8 @@ def test_shapes(ontology, rng):
     cache = om.attr_cache(params, attr_in, cfg)
     pad = cfg.tpu.vocab_pad_multiple
     v_pad = -(-ontology.num_tokens // pad) * pad
-    assert cache.shape == (B, O, v_pad + 1)
-    assert np.allclose(np.asarray(cache[..., 0]), om.DEFAULT_LOG_LIKELIHOOD)
+    assert cache.shape == (B, v_pad + 1, O)  # vocab-major (types.py)
+    assert np.allclose(np.asarray(cache[:, 0, :]), om.DEFAULT_LOG_LIKELIHOOD)
 
     rel_tokens = jnp.asarray(rng.integers(1, 300, size=(B, 3)), jnp.int32)
     rel_tokens = rel_tokens.at[0, 2].set(0)  # pad slot
@@ -106,7 +106,10 @@ def test_attr_cache_matches_reference_mlp(ontology, rng):
         x = torch.tensor(np.asarray(attr_in).reshape(B * O, -1))
         ref = torch.nn.functional.logsigmoid(emb(attr_net(x))).numpy().reshape(B, O, -1)
 
-    np.testing.assert_allclose(cache[..., 1:], ref, rtol=1e-4, atol=1e-5)
+    # vocab-major cache: compare rows 1.. transposed back to (B, O, V)
+    np.testing.assert_allclose(
+        np.moveaxis(cache[:, 1:, :], 1, 2), ref, rtol=1e-4, atol=1e-5
+    )
 
 
 @requires_reference

@@ -60,6 +60,8 @@ class ServingHTTPFrontend:
     NOT stopped — it may be shared)."""
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        from dfol_vqa_tpu.serve import EngineOverloaded
+
         self.engine = engine
         frontend = self
 
@@ -102,6 +104,10 @@ class ServingHTTPFrontend:
                         self._reply(200, frontend.trace(req))
                     else:
                         self._reply(404, {"error": f"no such path: {self.path}"})
+                except EngineOverloaded as e:
+                    # admission control (serve.EngineOverloaded): queue at
+                    # max_pending — retryable, tell the client to back off
+                    self._reply(429, {"error": str(e), "retryable": True})
                 except (KeyError, ValueError, TypeError, IndexError) as e:
                     self._reply(400, {"error": str(e)})
                 except Exception as e:  # engine-side failure: surface as 500
@@ -220,6 +226,9 @@ def main(argv=None):
     ap.add_argument("--objects", type=int, default=24)
     ap.add_argument("--max-batch", type=int, default=32)
     ap.add_argument("--max-delay-ms", type=float, default=10.0)
+    ap.add_argument("--max-pending", type=int, default=256,
+                    help="admission-control bound on queued requests; "
+                         "arrivals beyond it get HTTP 429 (0 = unbounded)")
     ap.add_argument("--ckpt", default=None, help="checkpoint dir (export_path_base)")
     ap.add_argument("--ckpt-name", default="best")
     ap.add_argument("--artifact", default=None, help="AOT serving set dir (export.py)")
@@ -253,7 +262,8 @@ def main(argv=None):
 
     cfg, ont, world, eng = build_demo_engine(
         tiny=args.tiny, objects=args.objects,
-        max_batch=args.max_batch, max_delay_ms=args.max_delay_ms)
+        max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
+        max_pending=args.max_pending or None)
     if args.ckpt:
         loaded, step = checkpoint.load(args.ckpt, args.ckpt_name, eng.params)
         eng.params = jax.device_put(loaded)

@@ -54,8 +54,10 @@ and device-bound throughput.
 from __future__ import annotations
 
 import dataclasses
+import json
 import threading
 import time
+from collections import OrderedDict
 from concurrent import futures
 from concurrent.futures import Future
 from dataclasses import dataclass
@@ -215,6 +217,21 @@ def concat_batches(
 # ------------------------------------------------------------------- engine
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised by ``submit`` when the pending queue is at ``max_pending``.
+
+    The engine's overload policy is ADMISSION CONTROL, not unbounded
+    queueing: once the number of queued (not yet dispatched) requests
+    reaches the bound, new arrivals fail fast instead of joining a queue
+    whose wait time grows without limit. Under sustained overload the
+    latency of *admitted* requests is therefore bounded by roughly
+    ``max_pending / throughput`` + one batch service time, and clients get
+    an immediate, retryable signal (the HTTP frontend maps this to 429).
+    Without a bound, saturated p50 is just queue depth divided by
+    throughput — seconds of wait that tell you nothing about the engine
+    (the r4 artifact's 4.2 s p50 was exactly this)."""
+
+
 @dataclass
 class ServeResult:
     answers: List[str]  # tie-kept answer strings (find_max_ind semantics)
@@ -261,6 +278,8 @@ class ServingEngine:
         mesh=None,
         executables: Optional[Dict[tuple, object]] = None,
         max_inflight: int = 8,
+        max_pending: Optional[int] = None,
+        plan_cache_size: int = 4096,
         start: bool = True,
     ):
         self.cfg = cfg
@@ -310,6 +329,22 @@ class ServingEngine:
         self._exported = executables or {}
         # queue key = canonical BucketSpec with batch_size zeroed
         self._pending: Dict[BucketSpec, List[_Request]] = {}
+        self._pending_count = 0  # total queued rows, for admission control
+        # admission control: None = unbounded (offline/warmup callers);
+        # online daemons should set a bound — see EngineOverloaded
+        self.max_pending = max_pending
+        # plan cache: canonical-question JSON -> (queue key, CompiledBatch).
+        # Program compilation + grid canonicalization are pure host Python
+        # (~ms on this class of host) and dominate the per-request cost once
+        # the executable set is warm; real traffic repeats questions
+        # (dashboards, retries, templated clients), so this is the serving
+        # analog of a database's query-plan cache. Entries are immutable:
+        # every downstream transform (concat/pad) builds fresh arrays.
+        self._plan_cache: "OrderedDict[str, Tuple[BucketSpec, CompiledBatch]]" = (
+            OrderedDict()
+        )
+        self._plan_cache_size = int(plan_cache_size)
+        self._plan_lock = threading.Lock()
         self._cond = threading.Condition()
         self._stop = False
         self._flush = False
@@ -321,6 +356,8 @@ class ServingEngine:
             "compiled_steps": 0,  # steps traced+compiled from Python
             "aot_steps": 0,  # steps served from deserialized exports
             "padded_rows": 0,
+            "plan_hits": 0,  # _prepare served from the plan cache
+            "rejected": 0,  # admission-control fast-fails (EngineOverloaded)
             # rolling window; long-running engines must not grow unboundedly
             "latencies_ms": deque(maxlen=100_000),
         }
@@ -348,10 +385,26 @@ class ServingEngine:
         """Compile ONE question and canonicalize it onto the grid ladders.
 
         Returns (queue key, single-row batch). The key is the canonical
-        spec with batch_size zeroed — everything XLA shape-specializes on."""
+        spec with batch_size zeroed — everything XLA shape-specializes on.
+        Results are memoized in the plan cache: the whole question dict
+        (sort_keys JSON) is the cache key, so two requests share an entry
+        only when byte-identical — identical program AND identical metadata
+        (imageId, questionId, answers) — which makes reuse trivially exact."""
+        ck = json.dumps(question, sort_keys=True, default=str)
+        with self._plan_lock:
+            hit = self._plan_cache.get(ck)
+            if hit is not None:
+                self._plan_cache.move_to_end(ck)
+                self.stats["plan_hits"] += 1
+                return hit
         spec, cb = self.compiler.compile([question])
         spec, cb = canonicalize_batch(spec, cb, self.seg_ladder, self.fill_ladder)
-        return dataclasses.replace(spec, batch_size=0), cb
+        out = (dataclasses.replace(spec, batch_size=0), cb)
+        with self._plan_lock:
+            self._plan_cache[ck] = out
+            if len(self._plan_cache) > self._plan_cache_size:
+                self._plan_cache.popitem(last=False)
+        return out
 
     def submit(self, question: dict, objects=None, obj_mask=None) -> Future:
         """Enqueue one question; resolves to a ServeResult.
@@ -380,7 +433,18 @@ class ServingEngine:
         with self._cond:
             if self._stop:
                 raise RuntimeError("engine stopped")
+            if (
+                self.max_pending is not None
+                and self._pending_count >= self.max_pending
+            ):
+                with self._stats_lock:
+                    self.stats["rejected"] += 1
+                raise EngineOverloaded(
+                    f"{self._pending_count} requests queued >= "
+                    f"max_pending={self.max_pending}; retry with backoff"
+                )
             self._pending.setdefault(key, []).append(r)
+            self._pending_count += 1
             self._cond.notify()
         with self._stats_lock:
             self.stats["requests"] += 1
@@ -428,7 +492,7 @@ class ServingEngine:
         if workers is None:
             workers = 8 if len(work) > 1 else 1
         t0 = time.perf_counter()
-        before = self.stats["compiled_steps"]
+        before = self.stats["compiled_steps"] + self.stats["aot_steps"]
 
         def _one(item):
             key, r, B = item
@@ -447,7 +511,10 @@ class ServingEngine:
         return {
             "specs": len(reps),
             "batch_sizes": list(batch_sizes),
-            "compiled": self.stats["compiled_steps"] - before,
+            # executables readied, whether traced+compiled or deserialized
+            # from the AOT set (aot_steps) and backend-compiled only
+            "compiled": self.stats["compiled_steps"]
+            + self.stats["aot_steps"] - before,
             "seconds": time.perf_counter() - t0,
             "workers": workers,
         }
@@ -497,6 +564,7 @@ class ServingEngine:
                 self._pending[key] = []
             if not self._pending[key]:
                 del self._pending[key]
+        self._pending_count -= sum(len(g) for _, g in out)
         return out
 
     def _dispatch_loop(self):
@@ -728,7 +796,8 @@ class ServingEngine:
 def build_demo_engine(tiny: bool = False, objects: int = 24,
                       max_batch: int = 32, max_delay_ms: float = 10.0,
                       executables=None, seed: int = 0,
-                      batch_ladder: Optional[Sequence[int]] = None):
+                      batch_ladder: Optional[Sequence[int]] = None,
+                      max_pending: Optional[int] = None):
     """Demo/bench engine over the planted world.
 
     THE single construction shared by the HTTP daemon CLI
@@ -766,6 +835,7 @@ def build_demo_engine(tiny: bool = False, objects: int = 24,
         max_batch=max_batch, max_delay_ms=max_delay_ms,
         transfer_dtype=None if tiny else "bfloat16",
         executables=executables,
+        max_pending=max_pending,
         **extra,
     )
     return cfg, ont, world, eng

@@ -50,6 +50,8 @@ def build(args):
     return build_demo_engine(
         tiny=args.tiny, objects=args.objects,
         max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
+        batch_ladder=getattr(args, "batch_ladder", None),
+        max_pending=getattr(args, "max_pending", None),
     )
 
 
@@ -78,7 +80,14 @@ def pctl(xs, p):
 
 
 def run_open_loop(eng, qs, feats, rate_qps, duration_s, seed=0):
-    """Poisson arrivals at rate_qps for duration_s; returns latency stats."""
+    """Poisson arrivals at rate_qps for duration_s; returns latency stats.
+
+    Requests the engine REJECTS (EngineOverloaded, the admission-control
+    fast-fail) are counted, not retried — open loop models independent
+    clients. Latency percentiles therefore describe ADMITTED requests,
+    which is the artifact the bound exists to protect."""
+    from dfol_vqa_tpu.serve import EngineOverloaded
+
     rng = np.random.default_rng(seed)
     t = 0.0
     schedule = []
@@ -88,6 +97,7 @@ def run_open_loop(eng, qs, feats, rate_qps, duration_s, seed=0):
     futs = []
     t0 = time.perf_counter()
     dropped = 0
+    rejected = 0
     for i, at in enumerate(schedule):
         now = time.perf_counter() - t0
         wait = at - now
@@ -98,7 +108,10 @@ def run_open_loop(eng, qs, feats, rate_qps, duration_s, seed=0):
             continue
         q = qs[i % len(qs)]
         objs, mask = feats[q["imageId"]]
-        futs.append(eng.submit(q, objs[0], mask[0]))
+        try:
+            futs.append(eng.submit(q, objs[0], mask[0]))
+        except EngineOverloaded:
+            rejected += 1
     eng.flush()
     lats = [f.result().latency_ms for f in futs]
     wall = time.perf_counter() - t0
@@ -107,6 +120,7 @@ def run_open_loop(eng, qs, feats, rate_qps, duration_s, seed=0):
         "achieved_qps": len(lats) / wall,
         "n": len(lats),
         "dropped_by_generator": dropped,
+        "rejected_by_admission_control": rejected,
         "latency_ms": {
             "p50": pctl(lats, 50), "p90": pctl(lats, 90),
             "p99": pctl(lats, 99), "mean": float(np.mean(lats)),
@@ -115,12 +129,24 @@ def run_open_loop(eng, qs, feats, rate_qps, duration_s, seed=0):
 
 
 def run_closed_loop(eng, qs, feats, n_requests):
+    """Saturation capacity: submit as fast as the host can. A closed loop
+    responds to backpressure by definition, so EngineOverloaded here means
+    'wait for the queue to drain a little and resubmit'."""
+    from dfol_vqa_tpu.serve import EngineOverloaded
+
     futs = []
     t0 = time.perf_counter()
+    retries = 0
     for i in range(n_requests):
         q = qs[i % len(qs)]
         objs, mask = feats[q["imageId"]]
-        futs.append(eng.submit(q, objs[0], mask[0]))
+        while True:
+            try:
+                futs.append(eng.submit(q, objs[0], mask[0]))
+                break
+            except EngineOverloaded:
+                retries += 1
+                time.sleep(0.002)
     eng.flush()
     lats = [f.result().latency_ms for f in futs]
     wall = time.perf_counter() - t0
@@ -128,6 +154,7 @@ def run_closed_loop(eng, qs, feats, n_requests):
         "n": n_requests,
         "sustained_qps": n_requests / wall,
         "wall_s": wall,
+        "overload_retries": retries,
         "latency_ms": {"p50": pctl(lats, 50), "p99": pctl(lats, 99)},
     }
 
@@ -146,6 +173,20 @@ def main():
     ap.add_argument("--warmup-workers", type=int, default=None,
                     help="thread-pool width for warmup compilation "
                          "(default: engine default, 8)")
+    ap.add_argument("--aot", default=None, metavar="DIR",
+                    help="AOT serving artifact dir (export.py). Missing -> "
+                         "exported first (offline build step, timed "
+                         "separately); then the engine serves from "
+                         "deserialized StableHLO: warmup backend-compiles "
+                         "WITHOUT Python tracing and parallelizes cleanly")
+    ap.add_argument("--max-pending", type=int, default=512,
+                    help="admission-control bound on queued requests "
+                         "(serve.EngineOverloaded); 0 = unbounded")
+    ap.add_argument("--batch-ladder", default="8,32",
+                    help="comma batch rungs; fewer rungs = proportionally "
+                         "fewer executables to warm (masked pad rows are "
+                         "exact no-ops, and device time per batch is tiny "
+                         "at these dims, so over-padding is cheap)")
     ap.add_argument("--jit-cache", default=None,
                     help="persistent XLA compilation cache dir: a restarted "
                          "server re-warms from disk instead of recompiling "
@@ -172,16 +213,41 @@ def main():
     if args.tpu and backend != "tpu":
         raise SystemExit(f"--tpu requested but backend is {backend}")
 
+    args.batch_ladder = tuple(int(x) for x in args.batch_ladder.split(",") if x)
+    args.max_pending = args.max_pending or None
     cfg, ont, world, eng = build(args)
     qs, feats = request_pool(world, cfg.tpu.max_object_num, n_per=4,
                              lengths=(0, 1, 2), seed=3)
     print(f"[serving_bench] backend={backend} pool={len(qs)} questions", flush=True)
 
+    # optional AOT artifact: export offline if missing, then serve from it
+    export_s = None
+    aot_loaded = 0
+    load_s = None
+    if args.aot:
+        from dfol_vqa_tpu.export import (MANIFEST, export_serving_set,
+                                         load_serving_set)
+
+        if not os.path.exists(os.path.join(args.aot, MANIFEST)):
+            t0 = time.perf_counter()
+            export_serving_set(eng, qs, args.aot)
+            export_s = time.perf_counter() - t0
+            print(f"[serving_bench] exported AOT set in {export_s:.1f}s",
+                  flush=True)
+        t0 = time.perf_counter()
+        eng._exported.update(load_serving_set(args.aot, engine=eng))
+        load_s = time.perf_counter() - t0
+        aot_loaded = len(eng._exported)
+        print(f"[serving_bench] loaded {aot_loaded} AOT modules in "
+              f"{load_s:.2f}s", flush=True)
+
     # warmup: precompile every canonical spec in the pool at every batch rung
-    # the policy can produce — serving then mints zero compilations
+    # the policy can produce — serving then mints zero compilations. With the
+    # AOT set loaded this is backend compilation only (no Python tracing).
     winfo = eng.warmup(qs, workers=args.warmup_workers)
-    warm_s, warm_steps = winfo["seconds"], eng.stats["compiled_steps"]
-    print(f"[serving_bench] warmup {winfo}", flush=True)
+    warm_s, warm_steps = winfo["seconds"], winfo["compiled"]
+    print(f"[serving_bench] warmup {winfo} aot_steps={eng.stats['aot_steps']}",
+          flush=True)
 
     rows = []
     for rate in [float(x) for x in args.loads.split(",") if x]:
@@ -193,7 +259,7 @@ def main():
     closed = run_closed_loop(eng, qs, feats, args.closed_n)
     print(f"[serving_bench] closed-loop {closed}", flush=True)
 
-    post_steps = eng.stats["compiled_steps"]
+    post_steps = eng.stats["compiled_steps"] + eng.stats["aot_steps"]
     out = {
         "device": str(jax.devices()[0]),
         "backend": backend,
@@ -206,8 +272,27 @@ def main():
             "max_batch": args.max_batch,
             "max_delay_ms": args.max_delay_ms,
             "transfer_dtype": eng.transfer_dtype,
+            "batch_ladder": list(args.batch_ladder),
+            "max_pending": args.max_pending,
+            "overload": (
+                "Admission control: submit fast-fails (EngineOverloaded / "
+                "HTTP 429) once max_pending requests are queued, so the "
+                "latency of admitted requests is bounded by ~max_pending/"
+                "throughput + one batch service time instead of growing "
+                "with offered load; clients retry with backoff. The "
+                "in-flight device window is separately bounded "
+                "(max_inflight groups)."
+            ),
+        },
+        "aot": {
+            "dir": args.aot,
+            "export_s_offline": export_s,
+            "load_s": load_s,
+            "modules_loaded": aot_loaded,
+            "aot_steps": eng.stats["aot_steps"],
         },
         "warmup": {"seconds": warm_s, "executables": warm_steps,
+                   "aot_compiled": eng.stats["aot_steps"],
                    "workers": winfo.get("workers"),
                    "jit_cache": args.jit_cache},
         "executables_after_load": post_steps,

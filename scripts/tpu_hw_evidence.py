@@ -49,18 +49,21 @@ def _run(script: str, timeout: int = 900):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "TPU_HW_r04.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "TPU_HW_r05.json"))
     args = ap.parse_args()
 
     checks = [
         _run("verify_bf16_stream.py"),
         _run("verify_serving_tpu.py"),
+        _run("verify_pair_mlp_tpu.py"),
     ]
     no_tpu = any(c["skipped_no_tpu"] for c in checks)
     result = {
         "purpose": ("hardware evidence for tests/test_tpu_hw.py — "
                     "bf16 rel-stream bit-identity (Pallas shared-contract, "
-                    "O=100) and zero-serve-time-compile serving burst"),
+                    "O=100), zero-serve-time-compile serving burst, and the "
+                    "fused pair-MLP kernel's on-chip bit-identity vs the XLA "
+                    "path at production dims (VERDICT r4 item 1)"),
         "checks": checks,
         "all_ok": all(c["ok"] for c in checks),
         "no_tpu_backend": no_tpu,

@@ -135,3 +135,28 @@ def test_error_paths(served, path, payload, code):
         _post(front, path, payload)
     assert ei.value.code == code
     assert "error" in json.loads(ei.value.read())
+
+
+def test_overload_maps_to_429(ontology, world):
+    """Admission control surfaces as HTTP 429 with retryable: true."""
+    cfg = small_cfg()
+    interp = Interpreter(cfg, ontology)
+    params = interp.init_params(jax.random.PRNGKey(0))
+    # start=False + huge delay: queued rows never drain, bound must trip
+    eng = ServingEngine(cfg, ontology, params, features=world,
+                        max_batch=8, max_delay_ms=1e6,
+                        max_pending=1, start=False)
+    front = ServingHTTPFrontend(eng, port=0)
+    try:
+        q = world.generate_family("exist", 1, length=0, seed=2)[0]
+        # fill the queue directly (no .result(): nothing will drain it)
+        eng.submit(q)
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(front, "/v1/answer", {"question": q})
+        assert ei.value.code == 429
+        body = json.loads(ei.value.read())
+        assert body["retryable"] is True
+        assert "max_pending" in body["error"]
+    finally:
+        front.close()
+        eng.stop()

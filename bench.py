@@ -925,6 +925,16 @@ def main():
     detail_path = os.path.join(REPO, f"BENCH_DETAIL_r{_next_round():02d}.json")
     with open(detail_path, "w") as f:
         json.dump(result, f, indent=1)
+    # honest "_best" keys (VERDICT r4 item 6): best over the measured
+    # batch-32 O=100 recipe variants — SAME dims as o100_device_qps, so
+    # the _best key dominates its neighbor by construction. The cross-batch
+    # ladder optimum stays available as o100_ladder_best_{qps,batch}.
+    o100_b32_variants = {
+        "float32_cache": BATCH / dev_sec_o100,
+        "bfloat16_compute": BATCH / dev_sec_o100_bf16,
+        "bfloat16_cache": BATCH / dev_sec_o100_cbf16,
+    }
+    o100_best_cfg = max(o100_b32_variants, key=o100_b32_variants.get)
     headline = {
         "metric": result["metric"],
         "value": result["value"],
@@ -933,8 +943,10 @@ def main():
         "train_qps_chunked": result["train_qps_chunked"],
         "device_vs_baseline_e2e": result["extras"]["device_vs_baseline_e2e"],
         "o100_device_qps": result["extras"]["exist_3hop_O100_device_qps"],
-        "o100_device_qps_best": (best100 or {}).get("qps"),
-        "o100_best_cache_dtype": (best100 or {}).get("cache_dtype", "float32"),
+        "o100_device_qps_best": round(o100_b32_variants[o100_best_cfg], 2),
+        "o100_best_config": o100_best_cfg,
+        "o100_ladder_best_qps": (best100 or {}).get("qps"),
+        "o100_ladder_best_batch": (best100 or {}).get("batch"),
         "mfu_ladder_best24_mfu": (best24 or {}).get("mfu"),
         "serving_qps": (serving or {}).get("closed_loop_qps"),
         "device_kind": device_kind,

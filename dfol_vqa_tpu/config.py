@@ -47,6 +47,21 @@ class TPUConfig:
     # near-ties within bf16 epsilon can flip, so the default stays fp32
     # (bitwise reference parity) and production serving/bench enable bf16,
     # with answer-losslessness pinned by tests/test_bf16.py fuzz sweeps.
+    # "auto" picks per-dims from the measured table below (VERDICT r4
+    # item 6): bf16's halved stream only wins once the batch is large
+    # enough that bandwidth, not dispatch latency, limits the step.
+
+    def resolve_cache_dtype(self, batch: int) -> str:
+        """Storage dtype for the likelihood caches at this batch size.
+
+        Measured table (BENCH_DETAIL_r04 mfu_ladder, TPU v5e): bf16 caches
+        LOSE at batch 32 (60.6k -> 60.1k qps at O=100 — the step is
+        dispatch/latency-bound and the extra converts don't pay) and WIN at
+        batch >= 256 (52.2k -> 55.1k at O=100, 419k -> 487k at O=24/1024 —
+        bandwidth-bound, stream halving dominates)."""
+        if self.cache_dtype != "auto":
+            return self.cache_dtype
+        return "bfloat16" if batch >= 256 else "float32"
     vocab_pad_multiple: int = 128  # pad the embedding head's vocab dim to a
     # lane multiple (2335 -> 2432): MXU-aligned matmuls + evenly shardable
     # over the model mesh axis; padded columns are never addressed (codes

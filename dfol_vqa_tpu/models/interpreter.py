@@ -346,7 +346,7 @@ class Interpreter:
         # producing matmul epilogue, so bf16 halves the caches' HBM write
         # AND all downstream gather reads; consumers upcast (see _gather_*)
         # so the fuzzy-logic algebra stays fp32.
-        cache_dtype = jnp.dtype(cfg.tpu.cache_dtype)
+        cache_dtype = jnp.dtype(cfg.tpu.resolve_cache_dtype(int(B)))
         attr_ll = attr_ll.astype(cache_dtype)
         rel_ll = rel_ll.astype(cache_dtype)
         return World(

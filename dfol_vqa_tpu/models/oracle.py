@@ -536,7 +536,8 @@ def rel_cache_shared(
         # full-tensor cast pass over (B, R, O_pad, O_pad)
         return shared_contract_pallas(
             h2, img_index, e_sel, b_sel, rel_tokens, default_ll, valid_o=O,
-            out_dtype=jnp.dtype(cfg.tpu.cache_dtype),
+            out_dtype=jnp.dtype(
+                cfg.tpu.resolve_cache_dtype(int(img_index.shape[0]))),
         )
 
     h2 = jax.nn.sigmoid(h)  # (U, O, O, E) shared pair code

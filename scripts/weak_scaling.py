@@ -9,7 +9,7 @@ chunked step executes and that GSPMD's collective overhead stays bounded
 as the mesh grows (the shape of the curve, not its height; real-chip
 scaling rides ICI instead of shared host memory).
 
-Writes MULTICHIP_SCALING_r04.json at the repo root.
+Writes MULTICHIP_SCALING_r05.json at the repo root.
 
 Usage: python scripts/weak_scaling.py [--per-device-batch 8] [--chunk 4]
 """
@@ -119,12 +119,40 @@ if n_devices > 1:
         creps.append(time.perf_counter() - t0)
     coll_sec = float(np.median(creps)) * chunk  # per-chunk: one reduce/step
 
+# Null-program control (VERDICT r4 weak #5): the same chunked scan shape on
+# the same mesh with a ~zero-FLOP body and NO cross-device communication —
+# what it measures is pure partitioning/launch/scheduler overhead per chunk
+# at n devices. The carry stays sharded over 'data' (no psum) and only the
+# final (batch,) vector is read back, same as the losses readback above.
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+null_shard = NamedSharding(mesh, P(None, 'data'))
+objs_null = jax.device_put(np.asarray(objs), null_shard)
+
+@jax.jit
+def null_chunk(x):
+    def body(c, xt):
+        return c + 1e-9 * xt[:, 0, 0], None
+    c0 = jnp.zeros((x.shape[1],), jnp.float32)
+    c0 = jax.lax.with_sharding_constraint(c0, NamedSharding(mesh, P('data')))
+    c, _ = jax.lax.scan(body, c0, x)
+    return c
+
+np.asarray(null_chunk(objs_null))  # warm
+nreps = []
+for _ in range(20):
+    t0 = time.perf_counter()
+    np.asarray(null_chunk(objs_null))
+    nreps.append(time.perf_counter() - t0)
+null_sec = float(np.median(nreps))
+
 print(json.dumps(dict(n_devices=n_devices, batch=batch, chunk=chunk,
                       sec_per_chunk=sec,
                       steps_per_sec=chunk / sec,
                       questions_per_sec=batch * chunk / sec,
                       collective_sec_per_chunk=coll_sec,
                       grad_allreduce_bytes=coll_bytes,
+                      null_sec_per_chunk=null_sec,
                       loss=float(np.asarray(losses)[-1]))))
 """
 
@@ -150,7 +178,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device-batch", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=4)
-    ap.add_argument("--out", default=os.path.join(REPO, "MULTICHIP_SCALING_r04.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "MULTICHIP_SCALING_r05.json"))
     args = ap.parse_args()
 
     rows = []
@@ -188,6 +216,20 @@ def main():
             round(row["collective_sec_per_chunk"] / row["sec_per_chunk"], 3)
             if row.get("collective_sec_per_chunk") else None
         )
+        # null-program attribution (r5): launch/scheduler overhead growth
+        # beyond perfect time-sharing of the 1-device null chunk; together
+        # with the collective control this must explain >=80% of the excess
+        null_base = rows[0].get("null_sec_per_chunk", 0.0)
+        launch_excess = max(
+            0.0, row.get("null_sec_per_chunk", 0.0) - n * null_base)
+        row["launch_excess_sec"] = round(launch_excess, 6)
+        if excess > 0:
+            attributed = row.get("collective_sec_per_chunk", 0.0) + launch_excess
+            row["attributed_frac_of_excess"] = round(
+                min(1.0, attributed / excess), 3)
+        else:
+            # faster than the perfect-time-sharing model: nothing to attribute
+            row["attributed_frac_of_excess"] = 1.0
     host_cores = os.cpu_count()
     artifact = dict(
         description=(
@@ -204,7 +246,7 @@ def main():
             "8-device retention drop decomposes into 1-core time-sharing "
             "(timeshare_expected_sec), GSPMD collectives "
             "(collective_frac_of_excess), and unattributed scheduler/launch "
-            "overhead. Interpretation: if collective_frac_of_excess is "
+            "overhead. r5 adds a NULL-PROGRAM control (same mesh + chunked scan shape, ~zero FLOPs, no communication): launch_excess_sec measures the launch/scheduler overhead growth beyond perfect time-sharing, and attributed_frac_of_excess = (collectives + launch excess) / excess. Interpretation: if collective_frac_of_excess is "
             "small, the retention drop is host time-sharing, not the "
             "sharding design — on real chips the collectives ride ICI and "
             "the excess term vanishes."

@@ -226,3 +226,31 @@ def test_bf16_cache_answers_agree_with_f32(ontology):
                 )
     assert total > 500
     assert flips == 0, f"{flips}/{total} answer flags flipped under bf16 caches"
+
+
+def test_auto_cache_dtype_resolution_and_exactness(ontology):
+    """tpu.cache_dtype='auto' (VERDICT r4 item 6) resolves per batch from
+    the measured table — fp32 below the bandwidth-saturating batch, bf16 at
+    or above it — and a small-batch auto run is BITWISE the fp32 run."""
+    cfg = tiny_cfg(dropout=0.0)
+    cfg.tpu.cache_dtype = "auto"
+    assert cfg.tpu.resolve_cache_dtype(32) == "float32"
+    assert cfg.tpu.resolve_cache_dtype(255) == "float32"
+    assert cfg.tpu.resolve_cache_dtype(256) == "bfloat16"
+    assert cfg.tpu.resolve_cache_dtype(1024) == "bfloat16"
+    pinned = tiny_cfg(dropout=0.0)
+    pinned.tpu.cache_dtype = "bfloat16"
+    assert pinned.tpu.resolve_cache_dtype(32) == "bfloat16"
+
+    i_auto = Interpreter(cfg, ontology)
+    i_f32 = Interpreter(tiny_cfg(dropout=0.0), ontology)
+    params = i_f32.init_params(jax.random.PRNGKey(0))
+    qs = generate_questions(ontology, 12, terminal="exist", length=1, seed=3)
+    loader = make_loader(ontology, cfg, qs, batch_size=12, shuffle=False)
+    for batch in loader:
+        arrays = {k: jnp.asarray(v) for k, v in batch.arrays.items()}
+        obj, mask = jnp.asarray(batch.objects), jnp.asarray(batch.obj_mask)
+        a = i_auto.forward(params, obj, mask, arrays, batch.spec, False, None)
+        b = i_f32.forward(params, obj, mask, arrays, batch.spec, False, None)
+        np.testing.assert_array_equal(
+            np.asarray(a["log_probability"]), np.asarray(b["log_probability"]))

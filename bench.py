@@ -44,6 +44,10 @@ def build_batches(hops: int, seed: int = 0, use_pallas: bool = None,
     cfg.tpu.max_object_num = O_PAD
     if use_pallas is not None:
         cfg.tpu.use_pallas = use_pallas
+        # pin the route so `use_pallas=True` measures the KERNEL path even
+        # at dims where the measured auto table would route to XLA (the
+        # pallas-vs-xla sweeps compare the two routes explicitly)
+        cfg.tpu.rel_route = "pallas" if use_pallas else "xla"
     if compute_dtype is not None:
         cfg.tpu.compute_dtype = compute_dtype
     if cache_dtype is not None:

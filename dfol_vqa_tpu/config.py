@@ -51,6 +51,24 @@ class TPUConfig:
     # item 6): bf16's halved stream only wins once the batch is large
     # enough that bandwidth, not dispatch latency, limits the step.
 
+    rel_route: str = "auto"  # shared-image relation-path route at O >= 64
+    # on TPU: "pallas" (fused pair-MLP + shared-contract Mosaic kernels),
+    # "xla" (same math XLA-lowered + contract-then-gather), or "auto" =
+    # measured per-dims table (scripts/o100_route_table.py, O100_ROUTE.json)
+
+    def resolve_rel_route(self, o: int, batch: int) -> str:
+        """Kernel vs XLA tail for the shared-image relation path.
+
+        Measured table (O100_ROUTE.json, TPU v5e, r5): after the
+        vocab-major attribute cache and contract-then-gather landed, the
+        XLA tail beats the Mosaic kernel route at O=100/B=32 (0.333 vs
+        0.377 ms full model — the kernel's VMEM win no longer covers its
+        launch overhead there); the kernel keeps winning at the
+        bandwidth-saturating batch (B=256)."""
+        if self.rel_route != "auto":
+            return self.rel_route
+        return "xla" if batch < 256 else "pallas"
+
     def resolve_cache_dtype(self, batch: int) -> str:
         """Storage dtype for the likelihood caches at this batch size.
 

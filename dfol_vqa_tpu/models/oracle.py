@@ -446,10 +446,14 @@ def rel_cache_shared(
 
     U, O, d_att = attr_in_u.shape
     # the Mosaic kernel contracts scalar (F=1) caches; the trainable-
-    # interpreter feature path stays on the XLA tail below
+    # interpreter feature path stays on the XLA tail below. Route choice
+    # between the kernel pair and the XLA tail is MEASURED per dims
+    # (tpu.resolve_rel_route, VERDICT r4 item 2 — the old `O >= 64` gate
+    # went stale once contract-then-gather overtook the kernel at B=32).
     use_kernel = (
         cfg.tpu.use_pallas and O >= 64 and jax.default_backend() == "tpu"
         and cfg.oracle_output_dim == 1
+        and cfg.tpu.resolve_rel_route(O, int(img_index.shape[0])) == "pallas"
     )
     if use_kernel:
         # Pad the OBJECT axis to the kernel's 128-lane alignment BEFORE the
@@ -489,6 +493,24 @@ def rel_cache_shared(
         from dfol_vqa_tpu.ops.pallas.pair_mlp import pair_mlp_fused
 
         h2 = pair_mlp_fused(
+            pos_u, h_s, h_o, w_g, b0, layers[1:],
+            out_dtype=jnp.dtype(cfg.tpu.rel_stream_dtype),
+        )
+    elif (
+        use_kernel
+        and (deterministic or cfg.dropout == 0.0)
+        and compute_dtype == jnp.float32
+    ):
+        # Kernel route, fused_pair_mlp off: use the kernel's exact XLA
+        # formulation (rank-1 f32 geometry + exp(x)-1 ELU + default-
+        # precision dots) so toggling tpu.fused_pair_mlp is numerically
+        # inert on chip up to MXU accumulation schedule (1 bf16 ULP on a
+        # <=1e-5 element fraction; answers bitwise — verify_pair_mlp_tpu).
+        # The general einsum tail below differs at full bf16 resolution
+        # (its K=4 geometry einsum rounds operands on the MXU).
+        from dfol_vqa_tpu.ops.pallas.pair_mlp import pair_mlp_xla
+
+        h2 = pair_mlp_xla(
             pos_u, h_s, h_o, w_g, b0, layers[1:],
             out_dtype=jnp.dtype(cfg.tpu.rel_stream_dtype),
         )

@@ -28,11 +28,18 @@ win is eval-path bandwidth; training at these dims is dominated by the
 contraction backward anyway). Forward/backward use the same function up
 to dot-operand dtype: on TPU the XLA recompute's default-precision f32
 dots round operands to bf16 on the MXU — exactly what the kernel does
-explicitly — so fwd and bwd agree on-chip; in interpret mode both sides
-run true-f32 dots and agree exactly. CPU parity with the XLA path is
-pinned by tests/test_pair_mlp_kernel.py; the on-chip fused-vs-XLA
-identity at production dims is pinned by scripts/tpu_hw_evidence.py
-(TPU_HW artifact, pair_mlp leg).
+explicitly — so fwd and bwd agree on-chip up to accumulation schedule;
+in interpret mode both sides run true-f32 dots and agree exactly.
+
+On-chip numerics vs the XLA route (measured, r5): with the SAME
+formulation on both sides (``pair_mlp_xla`` — rank-1 f32 geometry,
+shared _elu, default-precision dots), Mosaic and XLA agree bit-for-bit
+at small layer widths, but at production widths (K=256, N=300) their
+f32 accumulation schedules differ and a ~4e-7 fraction of pair codes
+rounds to the adjacent bf16 value. The honest hardware invariant is
+therefore 1-ULP-bounded caches + bitwise-identical ANSWERS, pinned by
+scripts/verify_pair_mlp_tpu.py (TPU_HW artifact, pair_mlp leg); CPU
+parity (true-f32, 1e-6) is pinned by tests/test_pair_mlp_kernel.py.
 """
 
 from __future__ import annotations
@@ -171,6 +178,35 @@ def _pm_bwd(static, res, g):
 
 
 _pair_mlp.defvjp(_pm_fwd, _pm_bwd)
+
+
+def pair_mlp_xla(
+    pos: jnp.ndarray,
+    h_s: jnp.ndarray,
+    h_o: jnp.ndarray,
+    w_g: jnp.ndarray,
+    b0: jnp.ndarray,
+    layers: Sequence[Dict[str, Any]],
+    out_dtype: Any = jnp.bfloat16,
+) -> jnp.ndarray:
+    """The kernel's EXACT formulation, lowered by XLA instead of Mosaic.
+
+    Same geometry math (four rank-1 f32 broadcasts — NOT the K=4 einsum,
+    whose operands XLA's default TPU matmul precision would round to bf16),
+    same exp(x)-1 ELU, same dot shapes. On TPU, XLA's default precision
+    rounds the layer-dot operands to one bf16 MXU pass — exactly what the
+    kernel's explicit casts do — so this is the kernel route's bitwise
+    reference on hardware (pinned by scripts/verify_pair_mlp_tpu.py) while
+    staying true-f32 under interpret/CPU semantics. Callers off the kernel
+    route keep the plain einsum formulation (true-f32 on CPU)."""
+    from dfol_vqa_tpu.models.featurizer import pair_geometry
+
+    geom = pair_geometry(pos)
+    dist, ang = geom[..., 0], geom[..., 1]
+    hside, vside = geom[..., 2], geom[..., 3]
+    out = _pair_mlp_xla(dist, ang, hside, vside, h_s, h_o, w_g, b0,
+                        list(layers))
+    return out.astype(jnp.dtype(out_dtype))
 
 
 def pair_mlp_fused(

@@ -91,3 +91,20 @@ def test_rel_cache_shared_fused_flag_cpu_noop(ontology):
     cfg.tpu.fused_pair_mlp = False
     b = om.rel_cache_shared(params, attr_in_u, pos_u, img_index, rel_tokens, cfg)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pair_mlp_xla_wrapper_matches_reference(rng):
+    """pair_mlp_xla (the kernel route's XLA-lowered twin used when
+    fused_pair_mlp is off on TPU) is the _pair_mlp_xla formulation exactly:
+    on CPU both run true-f32 and must agree bitwise with the reference
+    geometry-plane decomposition, and with the interpret-mode kernel to
+    fp32 tolerance."""
+    from dfol_vqa_tpu.ops.pallas.pair_mlp import pair_mlp_xla
+
+    args = _setup(rng)
+    out = pair_mlp_xla(*args, out_dtype=jnp.float32)
+    ref = _xla_ref(*args)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    fused = pair_mlp_fused(*args, out_dtype=jnp.float32, tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(fused),
+                               rtol=1e-6, atol=1e-6)

@@ -63,8 +63,9 @@ def main() -> int:
                     "bf16 rel-stream bit-identity (Pallas shared-contract, "
                     "O=100), zero-serve-time-compile serving burst, and the "
                     "fused pair-MLP kernel's on-chip numerics at production "
-                    "dims (VERDICT r4 item 1): caches agree to 1 bf16 ULP "
-                    "on <=1e-5 of elements, answer flags bitwise identical"),
+                    "dims (VERDICT r4 item 1): cache deltas bounded by 2 "
+                    "bf16 ULPs on a rare (<=1e-3) fraction of elements, "
+                    "answer flags bitwise identical"),
         "checks": checks,
         "all_ok": all(c["ok"] for c in checks),
         "no_tpu_backend": no_tpu,

@@ -8,6 +8,7 @@ import os
 
 import numpy as np
 import jax
+import pytest
 
 from dfol_vqa_tpu.train.trainer import VQATrainer
 from dfol_vqa_tpu.models.interpreter import Interpreter
@@ -70,6 +71,7 @@ def test_no_best_checkpoint_without_validation(ontology, tmp_path):
     assert [f for f in os.listdir(last_dir)]  # 'last' still saved
 
 
+@pytest.mark.slow  # multiprocess robustness; quick tier keeps the sequence-exactness loader tests
 def test_multiprocess_loader_detects_dead_worker(ontology):
     """ADVICE: a fork worker killed without enqueueing its sentinel must
     raise, not block .get() forever."""

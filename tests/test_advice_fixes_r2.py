@@ -33,6 +33,7 @@ print(zlib.crc32(feats.tobytes()))
 """
 
 
+@pytest.mark.slow  # cross-process determinism; quick tier keeps test_feature_determinism
 def test_noise_process_independent():
     """ADVICE (medium): noise was seeded with builtin hash(), which is
     PYTHONHASHSEED-randomized — each curriculum stage subprocess saw a

@@ -113,6 +113,7 @@ def test_int8_feature_transfer_matches_f32(ontology):
     )
 
 
+@pytest.mark.slow  # trains first; quick tier keeps the untrained int8-transfer + auto-cache-dtype tests
 def test_int8_transfer_with_trained_weights_on_planted_features(ontology):
     """Round-1 advisor follow-through: the answer-losslessness of the int8
     transfer path must hold with TRAINED weights on concept-bearing features

@@ -77,6 +77,7 @@ def test_modulator_disabled_for_open_questions_at_eval(ontology):
     )
 
 
+@pytest.mark.slow  # trains; quick tier keeps zero-init identity + eval-gating calibrator tests
 def test_calibrator_receives_gradients(ontology):
     cfg = tiny_cfg(dropout=0.0, activate_attention_transfer=True)
     interp = Interpreter(cfg, ontology)

@@ -240,7 +240,16 @@ CASES = {
 
 
 @requires_reference
-@pytest.mark.parametrize("case", sorted(CASES.keys()))
+@pytest.mark.parametrize(
+    "case",
+    [
+        # choose_rel_train is the heaviest case (relation fan-out + training
+        # mode); the quick tier keeps query_attr_train as the modulator-on
+        # representative and the cheap eval-mode cases
+        pytest.param(c, marks=[pytest.mark.slow] if c == "choose_rel_train" else [])
+        for c in sorted(CASES.keys())
+    ],
+)
 def test_calibrator_parity(case):
     from dfol_vqa_tpu.ontology import GQAOntology
 

@@ -39,7 +39,12 @@ def _chunk_inputs(ontology, cfg, n_batches=4, batch_size=8, terminal="verify_rel
     return interp, params, b0, objs, masks, packs
 
 
-@pytest.mark.parametrize("shape,axes", [((8,), ("data",)), ((4, 2), ("data", "model"))])
+@pytest.mark.parametrize("shape,axes", [
+    # quick tier keeps the 2-D (data x model) case — it subsumes the 1-D
+    # data-mesh collectives and is the production dryrun shape
+    pytest.param((8,), ("data",), marks=pytest.mark.slow),
+    ((4, 2), ("data", "model")),
+])
 def test_chunked_sharded_matches_unsharded_sequence(ontology, shape, axes):
     """The fused k-step chunk under a mesh must produce the same losses and
     final params as the same chunk on a single device."""

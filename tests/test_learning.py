@@ -16,6 +16,7 @@ from dfol_vqa_tpu.train.optim import build_optimizer
 from dfol_vqa_tpu.train.trainer import VQATrainer
 
 
+@pytest.mark.slow  # multi-epoch optimization; quick tier keeps test_pipeline_train's loop checks
 def test_learns_planted_concepts_from_answers(ontology):
     cfg = Config(
         box_features_dim=32,

@@ -33,6 +33,7 @@ def test_gate_matches_reference_module(rng):
     np.testing.assert_allclose(np.asarray(out), out_ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow  # trains; quick tier keeps the gate's parametric-not unit tests
 def test_trainable_gate_end_to_end(ontology):
     from dfol_vqa_tpu.data.synthetic import generate_questions
     from dfol_vqa_tpu.models.interpreter import Interpreter

@@ -68,6 +68,7 @@ def test_fused_pair_mlp_gradients_match_xla(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # quick tier keeps the kernel fwd/bwd/deep-chain parity tests
 def test_rel_cache_shared_fused_flag_cpu_noop(ontology):
     """On CPU the Mosaic gate is off: fused_pair_mlp must not change the
     XLA tail (the flag only routes inside use_kernel)."""

@@ -179,6 +179,7 @@ def test_checkpoint_partial_restore(ontology, tmp_path):
     )
 
 
+@pytest.mark.slow  # quick tier keeps the default-backend checkpoint round-trip + async-ckpt suite
 def test_checkpoint_orbax_backend(ontology, tmp_path):
     """orbax backend round-trips params + step and keeps strict=False
     semantics; load() auto-detects the directory format."""

@@ -29,6 +29,7 @@ from dfol_vqa_tpu.train.trainer import VQATrainer
 O = 8
 
 
+@pytest.mark.slow  # full train->export->serve chain; quick tier keeps test_serving.py's engine suites
 def test_train_checkpoint_export_serve(ontology, tmp_path, monkeypatch):
     cfg = Config(
         box_features_dim=32, oracle_input_dim=24, word_embedding_dim=16,

@@ -797,7 +797,9 @@ def build_demo_engine(tiny: bool = False, objects: int = 24,
                       max_batch: int = 32, max_delay_ms: float = 10.0,
                       executables=None, seed: int = 0,
                       batch_ladder: Optional[Sequence[int]] = None,
-                      max_pending: Optional[int] = None):
+                      max_pending: Optional[int] = None,
+                      seg_ladder: Optional[Sequence[int]] = None,
+                      fill_ladder: Optional[Sequence[int]] = None):
     """Demo/bench engine over the planted world.
 
     THE single construction shared by the HTTP daemon CLI
@@ -830,6 +832,10 @@ def build_demo_engine(tiny: bool = False, objects: int = 24,
         noise=0.1, seed=seed,
     )
     extra = {} if batch_ladder is None else {"batch_ladder": tuple(batch_ladder)}
+    if seg_ladder is not None:
+        extra["seg_ladder"] = tuple(seg_ladder)
+    if fill_ladder is not None:
+        extra["fill_ladder"] = tuple(fill_ladder)
     eng = ServingEngine(
         cfg, ont, params, features=world,
         max_batch=max_batch, max_delay_ms=max_delay_ms,

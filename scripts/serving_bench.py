@@ -52,6 +52,8 @@ def build(args):
         max_batch=args.max_batch, max_delay_ms=args.max_delay_ms,
         batch_ladder=getattr(args, "batch_ladder", None),
         max_pending=getattr(args, "max_pending", None),
+        seg_ladder=getattr(args, "seg_ladder", None),
+        fill_ladder=getattr(args, "fill_ladder", None),
     )
 
 
@@ -191,6 +193,16 @@ def main():
                     help="persistent XLA compilation cache dir: a restarted "
                          "server re-warms from disk instead of recompiling "
                          "(same flag as dfol-vqa-serve)")
+    ap.add_argument("--coarse-ladders", action="store_true",
+                    help="collapse the canonical grid to ONE shape "
+                         "(seg=(3,), fill=(4,)) and the batch ladder to the "
+                         "top rung: every request pads to the max grid, so "
+                         "the executable set shrinks from "
+                         "specs x grids x rungs to ~one per (terminal, "
+                         "branches, options) — warmup is proportionally "
+                         "faster. Exact by construction (masked slots are "
+                         "no-ops); device cost of the padding is trivial "
+                         "next to the tunnel RTT at these dims")
     args = ap.parse_args()
     # --jit-cache is applied via jax.config.update below (an env setdefault
     # here would be read too late: jax may already be imported — ADVICE r3)
@@ -214,6 +226,10 @@ def main():
         raise SystemExit(f"--tpu requested but backend is {backend}")
 
     args.batch_ladder = tuple(int(x) for x in args.batch_ladder.split(",") if x)
+    args.seg_ladder = args.fill_ladder = None
+    if args.coarse_ladders:
+        args.seg_ladder, args.fill_ladder = (3,), (4,)
+        args.batch_ladder = (max(args.batch_ladder),)
     args.max_pending = args.max_pending or None
     cfg, ont, world, eng = build(args)
     qs, feats = request_pool(world, cfg.tpu.max_object_num, n_per=4,
